@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so that sharding /
+multi-chip code paths can be exercised without TPU hardware, and so the
+suite is fast and deterministic (TPU compiles are slow).
+
+The container's sitecustomize pre-imports jax and pins the axon TPU
+platform, so an env-var-only override is not enough: we must also flip
+jax_platforms via jax.config before any backend is initialized.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,153 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from usot_tpu.ops.prroi import prroi_pool, prroi_pool_same_batch
+from usot_tpu.ops.xcorr import xcorr_depthwise, xcorr_depthwise_ref
+
+
+def bilinear_interp_np(F, y, x):
+    """Bilinear interpolation with zero padding outside [0,H)x[0,W)."""
+    H, W = F.shape
+
+    def get(h, w):
+        if 0 <= h < H and 0 <= w < W:
+            return F[h, w]
+        return 0.0
+
+    h0, w0 = int(np.floor(y)), int(np.floor(x))
+    dy, dx = y - h0, x - w0
+    return (
+        get(h0, w0) * (1 - dy) * (1 - dx)
+        + get(h0, w0 + 1) * (1 - dy) * dx
+        + get(h0 + 1, w0) * dy * (1 - dx)
+        + get(h0 + 1, w0 + 1) * dy * dx
+    )
+
+
+def prroi_numeric(F, roi, ph, pw, n_samples=120):
+    """Brute-force numerical integration reference for one channel."""
+    x1, y1, x2, y2 = roi
+    roi_w = max(x2 - x1, 0.0)
+    roi_h = max(y2 - y1, 0.0)
+    bw, bh = roi_w / pw, roi_h / ph
+    out = np.zeros((ph, pw))
+    if bw * bh == 0:
+        return out
+    for i in range(ph):
+        for j in range(pw):
+            ys = y1 + bh * i + (np.arange(n_samples) + 0.5) * bh / n_samples
+            xs = x1 + bw * j + (np.arange(n_samples) + 0.5) * bw / n_samples
+            acc = 0.0
+            for yy in ys:
+                for xx in xs:
+                    acc += bilinear_interp_np(F, yy, xx)
+            out[i, j] = acc / (n_samples * n_samples)
+    return out
+
+
+class TestPrRoIPool:
+    def test_matches_numerical_integration(self, rng):
+        F = rng.normal(size=(1, 9, 9, 1)).astype(np.float32)
+        roi = (1.3, 0.7, 6.9, 7.4)
+        out = prroi_pool(jnp.asarray(F), jnp.asarray([[0, *roi]]), 3, 3)
+        ref = prroi_numeric(F[0, :, :, 0], roi, 3, 3)
+        np.testing.assert_allclose(np.asarray(out)[0, :, :, 0], ref, atol=2e-3)
+
+    def test_integer_aligned_equals_avg_pool(self, rng):
+        # RoI covering cells exactly: continuous average of the bilinear
+        # surface over [a, a+k] differs from discrete avg pooling, so instead
+        # test a 1x1 bin over an exact unit cell against the closed form.
+        F = rng.normal(size=(1, 6, 6, 2)).astype(np.float32)
+        out = prroi_pool(jnp.asarray(F), jnp.asarray([[0, 2.0, 3.0, 3.0, 4.0]]), 1, 1)
+        # integral of bilinear over a unit cell = mean of 4 corners
+        expect = 0.25 * (F[0, 3, 2] + F[0, 3, 3] + F[0, 4, 2] + F[0, 4, 3])
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0], expect, rtol=1e-5)
+
+    def test_out_of_bounds_zero_padding(self, rng):
+        F = rng.normal(size=(1, 5, 5, 1)).astype(np.float32)
+        roi = (-3.0, -3.0, 1.5, 2.5)
+        out = prroi_pool(jnp.asarray(F), jnp.asarray([[0, *roi]]), 2, 2)
+        ref = prroi_numeric(F[0, :, :, 0], roi, 2, 2)
+        np.testing.assert_allclose(np.asarray(out)[0, :, :, 0], ref, atol=2e-3)
+
+    def test_degenerate_roi_is_zero(self, rng):
+        F = rng.normal(size=(1, 5, 5, 1)).astype(np.float32)
+        out = prroi_pool(jnp.asarray(F), jnp.asarray([[0, 2.0, 2.0, 2.0, 4.0]]), 2, 2)
+        assert np.all(np.asarray(out) == 0)
+        # And gradients through a degenerate roi must not be NaN
+        g = jax.grad(
+            lambda r: jnp.sum(prroi_pool(jnp.asarray(F), r[None], 2, 2))
+        )(jnp.asarray([0.0, 2.0, 2.0, 2.0, 4.0]))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_batch_index_gather(self, rng):
+        F = rng.normal(size=(3, 7, 7, 4)).astype(np.float32)
+        rois = jnp.asarray([[2, 1.0, 1.0, 5.0, 5.0], [0, 0.5, 0.5, 6.0, 6.0]])
+        out = prroi_pool(jnp.asarray(F), rois, 7, 7)
+        out2 = prroi_pool(jnp.asarray(F[2:3]), jnp.asarray([[0, 1.0, 1.0, 5.0, 5.0]]), 7, 7)
+        np.testing.assert_allclose(np.asarray(out)[0], np.asarray(out2)[0], rtol=1e-5)
+
+    def test_feature_gradient_finite_difference(self, rng):
+        jax.config.update("jax_enable_x64", True)
+        try:
+            F = rng.normal(size=(1, 6, 6, 1)).astype(np.float64)
+            roi = jnp.asarray([[0, 1.2, 0.8, 4.7, 5.1]], dtype=jnp.float64)
+
+            def loss(f):
+                return jnp.sum(prroi_pool(f, roi, 3, 3) ** 2)
+
+            g = jax.grad(loss)(jnp.asarray(F))
+            eps = 1e-5
+            for (h, w) in [(2, 3), (0, 0), (5, 5)]:
+                Fp = F.copy(); Fp[0, h, w, 0] += eps
+                Fm = F.copy(); Fm[0, h, w, 0] -= eps
+                fd = (loss(jnp.asarray(Fp)) - loss(jnp.asarray(Fm))) / (2 * eps)
+                np.testing.assert_allclose(
+                    np.asarray(g)[0, h, w, 0], fd, rtol=1e-4, atol=1e-6)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_coord_gradient_finite_difference(self, rng):
+        jax.config.update("jax_enable_x64", True)
+        try:
+            F = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float64))
+            roi0 = np.array([1.3, 0.9, 6.2, 6.8])
+
+            def loss(r):
+                rois = jnp.concatenate([jnp.zeros((1,), r.dtype), r])[None]
+                return jnp.sum(prroi_pool(F, rois, 7, 7) ** 2)
+
+            g = jax.grad(loss)(jnp.asarray(roi0))
+            eps = 1e-6
+            for i in range(4):
+                rp = roi0.copy(); rp[i] += eps
+                rm = roi0.copy(); rm[i] -= eps
+                fd = (loss(jnp.asarray(rp)) - loss(jnp.asarray(rm))) / (2 * eps)
+                np.testing.assert_allclose(
+                    np.asarray(g)[i], fd, rtol=1e-3, atol=1e-6)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_same_batch_wrapper(self, rng):
+        F = jnp.asarray(rng.normal(size=(2, 15, 15, 8)).astype(np.float32))
+        boxes = jnp.asarray([[1.0, 2.0, 12.0, 13.0], [0.0, 0.0, 14.0, 14.0]])
+        out = prroi_pool_same_batch(F, boxes, 7)
+        assert out.shape == (2, 7, 7, 8)
+
+
+class TestXcorr:
+    @pytest.mark.parametrize("shape", [
+        ((2, 31, 31, 8), (2, 5, 5, 8)),
+        ((1, 25, 27, 4), (1, 1, 3, 4)),
+        ((3, 10, 10, 16), (3, 3, 1, 16)),
+    ])
+    def test_matches_reference(self, rng, shape):
+        xs, ks = shape
+        x = jnp.asarray(rng.normal(size=xs).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=ks).astype(np.float32))
+        out = xcorr_depthwise(x, k)
+        ref = xcorr_depthwise_ref(x, k)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
