@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from usot_tpu.models.backbone import ResNetPlus2
+from usot_tpu.models.usot import USOTNet, init_variables, build_usot
+
+
+@pytest.fixture(scope="module")
+def small_model_vars():
+    model = build_usot(mem_size=2)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+class TestBackbone:
+    def test_output_shapes(self):
+        bb = ResNetPlus2()
+        v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)))
+        out = bb.apply(v, jnp.zeros((1, 127, 127, 3)))
+        assert out.shape == (1, 15, 15, 1024)
+        out = bb.apply(v, jnp.zeros((1, 255, 255, 3)))
+        assert out.shape == (1, 31, 31, 1024)
+        out = bb.apply(v, jnp.zeros((1, 271, 271, 3)))
+        assert out.shape == (1, 33, 33, 1024)
+
+    def test_param_count_matches_resnet50_trunk(self):
+        # ResNet-50 through layer3 is 8.56M; the 3x3 (not 1x1) downsample
+        # convs in layer2/layer3 add 256*512*8 + 512*1024*8 = 5.24M
+        # -> expect ~13.79M
+        bb = ResNetPlus2()
+        v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)))
+        n = sum(x.size for x in jax.tree.leaves(v["params"]))
+        assert 13.6e6 < n < 14.0e6
+
+
+class TestUSOTNet:
+    def test_inference_shapes(self, small_model_vars):
+        model, variables = small_model_vars
+        z = jnp.zeros((1, 127, 127, 3))
+        tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]])
+        zf = model.apply(variables, z, tb, method=USOTNet.template_features)
+        assert zf.shape == (1, 7, 7, 256)
+
+        x = jnp.zeros((1, 255, 255, 3))
+        xf = model.apply(variables, x, method=USOTNet.search_features)
+        assert xf.shape == (1, 31, 31, 256)
+
+        cls, bbox = model.apply(variables, xf, zf,
+                                method=USOTNet.track_offline)
+        assert cls.shape == (1, 25, 25, 1)
+        assert bbox.shape == (1, 25, 25, 4)
+        assert np.all(np.asarray(bbox) > 0)  # exp() output
+
+        mem = jnp.zeros((7, 7, 7, 256))
+        cls2, bbox2, cls_mem = model.apply(
+            variables, xf, zf, mem, method=USOTNet.track_memory)
+        assert cls_mem.shape == (1, 25, 25, 1)
+        np.testing.assert_allclose(np.asarray(cls), np.asarray(cls2))
+
+    def test_big_search_shapes(self, small_model_vars):
+        model, variables = small_model_vars
+        x = jnp.zeros((1, 271, 271, 3))
+        xf = model.apply(variables, x, method=USOTNet.search_features)
+        assert xf.shape == (1, 33, 33, 256)
+        zf = jnp.zeros((1, 7, 7, 256))
+        cls, bbox = model.apply(variables, xf, zf,
+                                method=USOTNet.track_offline)
+        assert cls.shape == (1, 27, 27, 1)
+
+    def test_train_forward_naive(self, small_model_vars, rng):
+        model, variables = small_model_vars
+        b = 2
+        t = jnp.asarray(rng.normal(size=(b, 127, 127, 3)).astype(np.float32))
+        s = jnp.asarray(rng.normal(size=(b, 255, 255, 3)).astype(np.float32))
+        lab = jnp.asarray((rng.random((b, 25, 25)) > 0.8).astype(np.float32))
+        reg = jnp.abs(jnp.asarray(rng.normal(size=(b, 25, 25, 4)).astype(np.float32))) + 1
+        regw = jnp.asarray((rng.random((b, 25, 25)) > 0.7).astype(np.float32))
+        tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b)
+
+        (l_ori, l_mem, l_reg), _ = model.apply(
+            variables, t, s, lab, reg, regw, tb,
+            method=USOTNet.forward_train, mutable=["batch_stats"])
+        assert l_mem is None
+        assert np.isfinite(float(l_ori)) and np.isfinite(float(l_reg))
+
+    def test_train_forward_cycle_memory_and_grads(self, small_model_vars, rng):
+        model, variables = small_model_vars
+        b, m = 1, 2
+        t = jnp.asarray(rng.normal(size=(b, 127, 127, 3)).astype(np.float32))
+        s = jnp.asarray(rng.normal(size=(b, 255, 255, 3)).astype(np.float32))
+        lab = jnp.asarray((rng.random((b, 25, 25)) > 0.8).astype(np.float32))
+        reg = jnp.abs(jnp.asarray(rng.normal(size=(b, 25, 25, 4)).astype(np.float32))) + 1
+        regw = jnp.asarray((rng.random((b, 25, 25)) > 0.7).astype(np.float32))
+        tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * b)
+        sm = jnp.asarray(rng.normal(size=(b, m, 255, 255, 3)).astype(np.float32))
+        sb = jnp.asarray([[6.0, 6.0, 18.0, 18.0]] * b)
+
+        def loss_fn(params):
+            (l_ori, l_mem, l_reg), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                t, s, lab, reg, regw, tb, search_memory=sm, search_bbox=sb,
+                cls_ratio=0.5, method=USOTNet.forward_train,
+                mutable=["batch_stats"])
+            return 0.3 * l_ori + 0.6 * l_mem + l_reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(loss))
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        # Head gradients must be nonzero
+        gsum = sum(float(jnp.sum(jnp.abs(g))) for g in
+                   jax.tree.leaves(grads["connect"]))
+        assert gsum > 0

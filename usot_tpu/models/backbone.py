@@ -1,0 +1,144 @@
+"""Modified ResNet-50 backbone ("ResNet_plus2") in flax/linen, NHWC.
+
+Architectural contract (ref: lib/models/modules.py:61-151):
+  * 7x7 stride-2 stem conv with NO padding (VALID), then 3x3/2 maxpool pad 1
+  * layer1: 3 bottlenecks, stride 1 (1x1 downsample)
+  * layer2: 4 bottlenecks, first stride 2 with 3x3 pad-0 conv2 AND a 3x3
+    pad-0 stride-2 downsample (not the canonical 1x1)
+  * layer3: 6 bottlenecks, stride 1, dilation 2; the FIRST block runs its
+    3x3 at dilation 1 / pad 1 (the reference halves dilation when a
+    downsample is present) with a 3x3 pad-1 downsample; remaining blocks
+    use dilation 2 / pad 2
+  * layer4 unused; output is layer3 (stride 8, 1024 channels)
+
+Spatial sizes: 255 -> 31x31, 127 -> 15x15, 271 -> 33x33.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not bn_train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return x
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    conv2_padding: int = 1
+    conv2_dilation: int = 1
+    downsample: bool = False
+    downsample_kernel: int = 1
+    downsample_padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        residual = x
+        out = ConvBN(self.planes, 1, dtype=self.dtype, name="cb1")(x, bn_train)
+        out = nn.relu(out)
+        out = ConvBN(
+            self.planes, 3, stride=self.stride, padding=self.conv2_padding,
+            dilation=self.conv2_dilation, dtype=self.dtype, name="cb2",
+        )(out, bn_train)
+        out = nn.relu(out)
+        out = ConvBN(self.planes * 4, 1, dtype=self.dtype, name="cb3")(out, bn_train)
+        if self.downsample:
+            residual = ConvBN(
+                self.planes * 4, self.downsample_kernel, stride=self.stride,
+                padding=self.downsample_padding, dtype=self.dtype,
+                name="downsample",
+            )(x, bn_train)
+        return nn.relu(out + residual)
+
+
+def _max_pool_3x3_s2_p1(x):
+    # torch MaxPool2d(kernel_size=3, stride=2, padding=1): pads with -inf
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else x.min()
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+class ResNetPlus2(nn.Module):
+    """Returns layer3 feature (N, H/8, W/8, 1024)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    def _stage(self, x, planes, blocks, stride, dilation, name, bn_train):
+        if dilation > 1:
+            # First block halves the dilation (ref modules.py:19-21) and the
+            # downsample is 3x3 with padding = dilation//2 (ref :114-126)
+            first = Bottleneck(
+                planes, stride=stride, conv2_padding=dilation // 2,
+                conv2_dilation=dilation // 2, downsample=True,
+                downsample_kernel=3, downsample_padding=dilation // 2,
+                dtype=self.dtype, name=f"{name}_0",
+            )
+            rest_pad, rest_dil = dilation, dilation
+        elif stride != 1:
+            first = Bottleneck(
+                planes, stride=stride, conv2_padding=2 - stride,
+                downsample=True, downsample_kernel=3, downsample_padding=0,
+                dtype=self.dtype, name=f"{name}_0",
+            )
+            rest_pad, rest_dil = 1, 1
+        else:
+            first = Bottleneck(
+                planes, conv2_padding=1, downsample=True,
+                downsample_kernel=1, downsample_padding=0,
+                dtype=self.dtype, name=f"{name}_0",
+            )
+            rest_pad, rest_dil = 1, 1
+
+        x = first(x, bn_train)
+        for i in range(1, blocks):
+            x = Bottleneck(
+                planes, conv2_padding=rest_pad, conv2_dilation=rest_dil,
+                dtype=self.dtype, name=f"{name}_{i}",
+            )(x, bn_train)
+        return x
+
+    @nn.compact
+    def __call__(self, x, stem_bn_train: bool = False, stage_bn_train: bool = False):
+        """x: (N, H, W, 3). BN modes: stem (conv1/bn1) and stages separately,
+        mirroring the staged freeze/unfreeze schedule
+        (ref: scripts/train_usot.py:72-102)."""
+        x = ConvBN(64, 7, stride=2, padding=0, dtype=self.dtype, name="stem")(
+            x, stem_bn_train)
+        x = nn.relu(x)
+        x = _max_pool_3x3_s2_p1(x)
+        x = self._stage(x, 64, self.layers[0], 1, 1, "layer1", stage_bn_train)
+        x = self._stage(x, 128, self.layers[1], 2, 1, "layer2", stage_bn_train)
+        x = self._stage(x, 256, self.layers[2], 1, 2, "layer3", stage_bn_train)
+        return x

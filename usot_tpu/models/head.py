@@ -1,0 +1,195 @@
+"""Correlation heads: multi-scale encoders, depthwise xcorr fusion,
+confidence-value memory fusion, and the cls/reg towers.
+
+Functional NHWC re-design of the reference head
+(ref: lib/models/connect.py:12-281). The three "scales" are three
+differently-dilated 3x3 VALID convs applied to the SAME input; kernel (z)
+and search (x) sides have independent weights. Depthwise correlation of the
+three pairs is fused with a softmax-weighted learnable 3-vector.
+"""
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from usot_tpu.ops.xcorr import xcorr_depthwise
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    padding: int = 0
+    dilation: tuple = (1, 1)
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            padding=[(self.padding, self.padding)] * 2,
+            kernel_dilation=self.dilation,
+            use_bias=self.use_bias, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        return nn.relu(x)
+
+
+class MatrixBranch(nn.Module):
+    """One side (kernel or search) of the multi-scale correlation encoder:
+    three dilated 3x3 VALID convs on the same input."""
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool) -> List[jnp.ndarray]:
+        b11 = ConvBNRelu(self.out_channels, 3, dilation=(1, 1),
+                         dtype=self.dtype, name="m11")(x, bn_train)
+        b12 = ConvBNRelu(self.out_channels, 3, dilation=(2, 1),
+                         dtype=self.dtype, name="m12")(x, bn_train)
+        b21 = ConvBNRelu(self.out_channels, 3, dilation=(1, 2),
+                         dtype=self.dtype, name="m21")(x, bn_train)
+        return [b11, b12, b21]
+
+
+class GroupDW(nn.Module):
+    """Softmax-weighted fusion of the three depthwise correlations."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, zs: List[jnp.ndarray], xs: List[jnp.ndarray]):
+        weight = self.param("weight", nn.initializers.ones, (3,), jnp.float32)
+        w = jax.nn.softmax(weight, axis=0)
+        res = 0.0
+        for i in range(3):
+            res = res + w[i].astype(self.dtype) * xcorr_depthwise(xs[i], zs[i])
+        return res
+
+
+class ConfFusion(nn.Module):
+    """Confidence-value fusion over the memory dimension
+    (ref: lib/models/connect.py:104-144). Input (B, M, H, W, C)."""
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        b, m, h, w, c = x.shape
+        flat = x.reshape(b * m, h, w, c)
+        conf = ConvBNRelu(self.out_channels, 3, padding=1, use_bias=True,
+                          dtype=self.dtype, name="conf_gen")(flat, bn_train)
+        conf = jnp.clip(conf, -6.0, 4.0)
+        conf = jnp.exp(conf).reshape(b, m, h, w, self.out_channels)
+        conf = conf / jnp.sum(conf, axis=1, keepdims=True)
+        value = ConvBNRelu(self.out_channels, 3, padding=1, use_bias=True,
+                           dtype=self.dtype, name="value_gen")(flat, bn_train)
+        value = value.reshape(b, m, h, w, self.out_channels)
+        return jnp.sum(conf * value, axis=1)
+
+
+class Tower(nn.Module):
+    """Stack of conv3x3(pad 1, bias)+BN+ReLU blocks."""
+    out_channels: int = 256
+    num: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        for i in range(self.num):
+            x = ConvBNRelu(self.out_channels, 3, padding=1, use_bias=True,
+                           dtype=self.dtype, name=f"block{i}")(x, bn_train)
+        return x
+
+
+class BoxTowerReg(nn.Module):
+    """Offline cls/reg head + online memory cls head.
+
+    Methods (call with nn.apply(..., method=...)):
+      encode_search  -> (cls_x list, reg_x list) caches
+      offline        -> (bbox, cls, cls_x, reg_x)
+      memory_cls     -> cls_mem from cached cls_x + memory kernels
+    """
+    out_channels: int = 256
+    tower_num: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.cls_encode_k = MatrixBranch(self.out_channels, self.dtype)
+        self.cls_encode_s = MatrixBranch(self.out_channels, self.dtype)
+        self.reg_encode_k = MatrixBranch(self.out_channels, self.dtype)
+        self.reg_encode_s = MatrixBranch(self.out_channels, self.dtype)
+        self.cls_dw = GroupDW(self.dtype)
+        self.reg_dw = GroupDW(self.dtype)
+        self.conf_fusion = ConfFusion(self.out_channels, self.dtype)
+        self.bbox_tower = Tower(self.out_channels, self.tower_num, self.dtype)
+        self.cls_tower = Tower(self.out_channels, self.tower_num, self.dtype)
+        self.cls_memory_tower = Tower(self.out_channels, self.tower_num, self.dtype)
+        self.bbox_pred = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                                 dtype=self.dtype, name="bbox_pred")
+        self.cls_pred = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                                dtype=self.dtype, name="cls_pred")
+        self.cls_memory_pred = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
+                                       dtype=self.dtype, name="cls_memory_pred")
+        self.adjust = self.param(
+            "adjust", lambda k, s: 0.1 * jnp.ones(s, jnp.float32), (1,))
+        self.bias = self.param(
+            "bias", nn.initializers.ones, (1, 1, 1, 4), jnp.float32)
+
+    def _adjust_bias(self):
+        return self.adjust.astype(self.dtype), self.bias.astype(self.dtype)
+
+    def encode_search(self, search, bn_train: bool = False):
+        """Cache the search-side encodings (cls_x, reg_x)."""
+        return (self.cls_encode_s(search, bn_train),
+                self.reg_encode_s(search, bn_train))
+
+    def offline(self, search, kernel, bn_train: bool = False,
+                cls_x=None, reg_x=None):
+        """Offline Siamese branch: bbox (B,Ho,Wo,4), cls (B,Ho,Wo,1)."""
+        cls_z = self.cls_encode_k(kernel, bn_train)
+        reg_z = self.reg_encode_k(kernel, bn_train)
+        if cls_x is None:
+            cls_x = self.cls_encode_s(search, bn_train)
+        if reg_x is None:
+            reg_x = self.reg_encode_s(search, bn_train)
+
+        cls_dw = self.cls_dw(cls_z, cls_x)
+        reg_dw = self.reg_dw(reg_z, reg_x)
+
+        x_reg = self.bbox_tower(reg_dw, bn_train)
+        adjust, bias = self._adjust_bias()
+        x_bbox = jnp.exp(adjust * self.bbox_pred(x_reg) + bias)
+
+        c = self.cls_tower(cls_dw, bn_train)
+        cls = 0.1 * self.cls_pred(c)
+        return x_bbox, cls, cls_x, reg_x
+
+    def memory_cls(self, cls_x, memory_kernel, mem_size: int,
+                   bn_train: bool = False):
+        """Online memory branch.
+
+        cls_x: list of 3 cached search encodings, each (B, h_i, w_i, C).
+        memory_kernel: (B*mem_size, 7, 7, C_in) pooled memory features.
+        Returns cls_mem (B, Ho, Wo, 1).
+        """
+        cls_mem_zs = self.cls_encode_k(memory_kernel, bn_train)
+        batch = cls_x[0].shape[0]
+        store_repeat = []
+        for x in cls_x:
+            b, h, w, c = x.shape
+            rep = jnp.repeat(x[:, None], mem_size, axis=1).reshape(
+                b * mem_size, h, w, c)
+            store_repeat.append(rep)
+
+        cls_mem_dw = self.cls_dw(cls_mem_zs, store_repeat)  # (B*M, Ho, Wo, C)
+        bm, ho, wo, c = cls_mem_dw.shape
+        cls_mem_dw = cls_mem_dw.reshape(batch, mem_size, ho, wo, c)
+
+        fused = self.conf_fusion(cls_mem_dw, bn_train)  # (B, Ho, Wo, C)
+        c_mem = self.cls_memory_tower(fused, bn_train)
+        return 0.1 * self.cls_memory_pred(c_mem)
+

@@ -1,0 +1,84 @@
+"""Jitted model entry points used by the trackers.
+
+Wraps a USOTNet + variables into a set of fixed-shape jitted callables
+(one per search size), so the host tracker code never retraces.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usot_tpu.models.usot import USOTNet
+
+
+class ModelRunner:
+    """Host-facing handle: jitted template/track/memory-extract functions."""
+
+    def __init__(self, model: USOTNet, variables, mem_queue_size: int = 7):
+        self.model = model
+        self.variables = dict(variables)
+        self.mem_queue_size = mem_queue_size
+
+        @jax.jit
+        def _template(variables, z, tb):
+            return model.apply(variables, z, tb,
+                               method=USOTNet.template_features)
+
+        @jax.jit
+        def _search_features(variables, x):
+            return model.apply(variables, x, method=USOTNet.search_features)
+
+        @jax.jit
+        def _track_offline(variables, xf, zf):
+            cls, bbox = model.apply(variables, xf, zf,
+                                    method=USOTNet.track_offline)
+            return jax.nn.sigmoid(cls[0, :, :, 0]), \
+                jnp.transpose(bbox[0], (2, 0, 1))
+
+        @jax.jit
+        def _track_memory(variables, xf, zf, mem):
+            cls, bbox, cls_mem = model.apply(
+                variables, xf, zf, mem, method=USOTNet.track_memory)
+            return (jax.nn.sigmoid(cls[0, :, :, 0]),
+                    jnp.transpose(bbox[0], (2, 0, 1)),
+                    jax.nn.sigmoid(cls_mem[0, :, :, 0]))
+
+        @jax.jit
+        def _pool_memory(variables, xf, sb):
+            return model.apply(variables, xf, sb,
+                               method=USOTNet.pool_memory_feature)
+
+        self._template = _template
+        self._search_features = _search_features
+        self._track_offline = _track_offline
+        self._track_memory = _track_memory
+        self._pool_memory = _pool_memory
+
+    # -- host API (numpy in / numpy-or-device out) --
+
+    def template(self, z_hwc: np.ndarray, template_bbox):
+        z = jnp.asarray(z_hwc, jnp.float32)[None]
+        tb = jnp.asarray(template_bbox, jnp.float32).reshape(1, 4)
+        return self._template(self.variables, z, tb)
+
+    def search_features(self, x_hwc: np.ndarray):
+        x = jnp.asarray(x_hwc, jnp.float32)[None]
+        return self._search_features(self.variables, x)
+
+    def track_offline(self, xf, zf):
+        cls, bbox = self._track_offline(self.variables, xf, zf)
+        return np.asarray(cls, np.float64), np.asarray(bbox, np.float64)
+
+    def track_memory(self, xf, zf, mem):
+        cls, bbox, cls_mem = self._track_memory(self.variables, xf, zf, mem)
+        return (np.asarray(cls, np.float64), np.asarray(bbox, np.float64),
+                np.asarray(cls_mem, np.float64))
+
+    def extract_memory_feature(self, x_hwc=None, xf=None, search_bbox=None):
+        if xf is None:
+            xf = self.search_features(x_hwc)
+        sb = jnp.asarray(search_bbox, jnp.float32).reshape(1, 4)
+        return self._pool_memory(self.variables, xf, sb)
