@@ -1,0 +1,102 @@
+import numpy as np
+import pytest
+
+from usot_tpu.eval.region import (_build_and_load, _overlap_np, _to_polygon,
+                                  _bounds_tuple, vot_overlap,
+                                  vot_overlap_traj, vot_float2str)
+from usot_tpu.eval.statistics import (calculate_accuracy,
+                                      calculate_expected_overlap,
+                                      calculate_failures, overlap_ratio,
+                                      success_error, success_overlap)
+
+
+class TestRegion:
+    def test_identical_rects(self):
+        assert vot_overlap([10, 10, 20, 20], [10, 10, 20, 20]) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        assert vot_overlap([0, 0, 5, 5], [100, 100, 5, 5]) == 0.0
+
+    def test_special_frame_nan(self):
+        assert np.isnan(vot_overlap([2], [10, 10, 5, 5]))
+        assert np.isnan(vot_overlap([10, 10, 5, 5], [0]))
+
+    def test_half_overlap_rects(self):
+        # [0,0,10,10] vs [5,0,10,10]: rasterized IoU on integer grid
+        ov = vot_overlap([0, 0, 10, 10], [5, 0, 10, 10])
+        # masks are 11x11 wide rasterizations; expect around 1/3
+        assert 0.25 < ov < 0.45
+
+    def test_polygon_rect_equivalence(self):
+        rect = [3, 4, 8, 6]
+        poly = [3, 4, 11, 4, 11, 10, 3, 10]
+        assert vot_overlap(rect, poly) == pytest.approx(1.0)
+
+    def test_native_matches_numpy(self, rng):
+        lib = _build_and_load()
+        assert lib is not None, "C++ region library must build"
+        for _ in range(40):
+            # random convex-ish quadrilaterals
+            cx, cy = rng.uniform(10, 50, 2)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 4))
+            r = rng.uniform(3, 20, 4)
+            p1 = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                          axis=1).ravel()
+            cx2, cy2 = rng.uniform(10, 50, 2)
+            r2 = rng.uniform(3, 20, 4)
+            p2 = np.stack([cx2 + r2 * np.cos(ang), cy2 + r2 * np.sin(ang)],
+                          axis=1).ravel()
+            bounds = None
+            native = vot_overlap(p1, p2, bounds)
+            mirror = _overlap_np(_to_polygon(p1), _to_polygon(p2),
+                                 _bounds_tuple(bounds))
+            assert native == pytest.approx(mirror, abs=1e-6), (p1, p2)
+
+    def test_traj_and_float2str(self):
+        ovs = vot_overlap_traj([[0, 0, 5, 5], [2]], [[0, 0, 5, 5], [0, 0, 5, 5]])
+        assert ovs[0] == pytest.approx(1.0)
+        assert np.isnan(ovs[1])
+        assert vot_float2str("%.3f", 0.12345) == "0.123"
+
+
+class TestStatistics:
+    def test_failures(self):
+        traj = [[1], [10, 10, 5, 5], [2], [0], [10, 10, 5, 5], [2]]
+        n, idx = calculate_failures(traj)
+        assert n == 2 and idx == [2, 5]
+
+    def test_overlap_ratio(self):
+        r1 = np.array([[0, 0, 10, 10]])
+        r2 = np.array([[5, 5, 10, 10]])
+        iou = overlap_ratio(r1, r2)
+        assert iou[0] == pytest.approx(25 / 175)
+
+    def test_success_overlap_perfect(self):
+        gt = np.array([[10, 10, 20, 20]] * 5, float)
+        success = success_overlap(gt, gt.copy(), 5)
+        assert success[0] == 1.0 and success[-1] == 0.0  # iou>1.0 is false
+
+    def test_success_error(self):
+        gt = np.array([[5.0, 5.0], [10.0, 10.0]])
+        res = np.array([[5.0, 5.0], [13.0, 14.0]])  # dist 0 and 5
+        th = np.array([0, 1, 5, 10])
+        out = success_error(gt, res, th, 2)
+        np.testing.assert_allclose(out, [0.5, 0.5, 1.0, 1.0])
+
+    def test_expected_overlap_single_fragment(self):
+        frag = np.array([[1.0, 0.5, 0.5, 0.5]])
+        w = np.array([1.0])
+        eo = calculate_expected_overlap(frag, w)
+        assert eo[0] == 1.0
+        assert eo[1] == pytest.approx(0.5)
+        assert eo[3] == pytest.approx(0.5)
+
+    def test_accuracy_burnin(self):
+        gt = [[0, 0, 10, 10]] * 4
+        pred = [[1], [0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 10, 10]]
+        acc, overlaps = calculate_accuracy(pred, gt, burnin=2,
+                                           bound=(100, 100))
+        # frames 0,1 burned (nan), 2,3 overlap 1
+        assert np.isnan(overlaps[0]) and np.isnan(overlaps[1])
+        assert overlaps[2] == pytest.approx(1.0)
+        assert acc == pytest.approx(1.0)

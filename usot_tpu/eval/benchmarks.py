@@ -1,0 +1,325 @@
+"""OPE / Accuracy-Robustness / EAO / F1 benchmarks
+(ref: lib/eval_toolkit/pysot/evaluation/). Same numerics, plain printing."""
+from __future__ import annotations
+
+import itertools
+import warnings
+
+import numpy as np
+
+from usot_tpu.eval.statistics import (calculate_accuracy,
+                                      calculate_expected_overlap,
+                                      calculate_f1, calculate_failures,
+                                      determine_thresholds, success_error,
+                                      success_overlap)
+
+
+class OPEBenchmark:
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    @staticmethod
+    def convert_bb_to_center(bboxes):
+        return np.array([(bboxes[:, 0] + (bboxes[:, 2] - 1) / 2),
+                         (bboxes[:, 1] + (bboxes[:, 3] - 1) / 2)]).T
+
+    def convert_bb_to_norm_center(self, bboxes, gt_wh):
+        return self.convert_bb_to_center(bboxes) / (gt_wh + 1e-16)
+
+    def _trajs(self, video, tracker_name):
+        gt_traj = np.array(video.gt_traj)
+        if tracker_name not in video.pred_trajs:
+            traj = np.array(video.load_tracker(self.dataset.tracker_path,
+                                               tracker_name, False))
+        else:
+            traj = np.array(video.pred_trajs[tracker_name])
+        n_frame = len(gt_traj)
+        if hasattr(video, "absent"):
+            gt_traj = gt_traj[video.absent == 1]
+            traj = traj[video.absent == 1]
+        return gt_traj, traj, n_frame
+
+    def eval_success(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        out = {}
+        for tracker_name in eval_trackers:
+            per_video = {}
+            for video in self.dataset:
+                gt, traj, n = self._trajs(video, tracker_name)
+                per_video[video.name] = success_overlap(gt, traj, n)
+            out[tracker_name] = per_video
+        return out
+
+    def eval_precision(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        out = {}
+        for tracker_name in eval_trackers:
+            per_video = {}
+            for video in self.dataset:
+                gt, traj, n = self._trajs(video, tracker_name)
+                thresholds = np.arange(0, 51, 1)
+                per_video[video.name] = success_error(
+                    self.convert_bb_to_center(gt),
+                    self.convert_bb_to_center(traj), thresholds, n)
+            out[tracker_name] = per_video
+        return out
+
+    def eval_norm_precision(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        out = {}
+        for tracker_name in eval_trackers:
+            per_video = {}
+            for video in self.dataset:
+                gt, traj, n = self._trajs(video, tracker_name)
+                thresholds = np.arange(0, 51, 1) / 100
+                per_video[video.name] = success_error(
+                    self.convert_bb_to_norm_center(gt, gt[:, 2:4]),
+                    self.convert_bb_to_norm_center(traj, gt[:, 2:4]),
+                    thresholds, n)
+            out[tracker_name] = per_video
+        return out
+
+    def show_result(self, success_ret, precision_ret=None,
+                    norm_precision_ret=None, show_video_level=False,
+                    helight_threshold=0.6):
+        header = f"|{'Tracker name':^20}|{'Success':^9}|{'Norm dp':^9}|" \
+                 f"{'Precision':^11}|"
+        print("-" * len(header))
+        print(header)
+        print("-" * len(header))
+        for tracker_name in success_ret.keys():
+            success = np.mean(list(success_ret[tracker_name].values()))
+            if precision_ret is not None:
+                precision = np.mean(
+                    list(precision_ret[tracker_name].values()), axis=0)[20]
+            else:
+                precision = 0
+            if norm_precision_ret is not None:
+                norm_p = np.mean(
+                    list(norm_precision_ret[tracker_name].values()),
+                    axis=0)[20]
+            else:
+                norm_p = 0
+            print(f"|{tracker_name:^20}|{success:^9.3f}|{norm_p:^9.3f}|"
+                  f"{precision:^11.3f}|")
+        print("-" * len(header))
+
+
+class AccuracyRobustnessBenchmark:
+    def __init__(self, dataset, burnin=10):
+        self.dataset = dataset
+        self.burnin = burnin
+
+    def eval(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        result = {}
+        for tracker_name in eval_trackers:
+            overlaps, failures = self._calculate(tracker_name)
+            result[tracker_name] = {"overlaps": overlaps, "failures": failures}
+        return result
+
+    def _calculate(self, tracker_name):
+        overlaps, failures = {}, {}
+        for video in self.dataset:
+            gt_traj = video.gt_traj
+            if tracker_name not in video.pred_trajs:
+                trajs = video.load_tracker(self.dataset.tracker_path,
+                                           tracker_name, False)
+            else:
+                trajs = video.pred_trajs[tracker_name]
+            overlaps_group, fail_group = [], []
+            for traj in trajs:
+                fail_group.append(calculate_failures(traj)[0])
+                overlaps_group.append(calculate_accuracy(
+                    traj, gt_traj, burnin=self.burnin,
+                    bound=(video.width, video.height))[1])
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", category=RuntimeWarning)
+                overlaps[video.name] = np.nanmean(overlaps_group,
+                                                  axis=0).tolist()
+                failures[video.name] = fail_group
+        return overlaps, failures
+
+    def show_result(self, result, eao_result=None):
+        header = f"|{'Tracker name':^20}|{'Accuracy':^10}|{'Robustness':^12}|" \
+                 f"{'Lost':^8}|{'EAO':^7}|"
+        print("-" * len(header))
+        print(header)
+        print("-" * len(header))
+        for tracker_name, ret in result.items():
+            overlaps = list(itertools.chain(*ret["overlaps"].values()))
+            accuracy = np.nanmean(overlaps)
+            length = sum(len(x) for x in ret["overlaps"].values())
+            failures = list(ret["failures"].values())
+            lost = np.mean(np.sum(failures, axis=0))
+            robustness = np.mean(np.sum(np.array(failures), axis=0)
+                                 / length) * 100
+            eao = (eao_result or {}).get(tracker_name, {}).get("all", 0.0)
+            print(f"|{tracker_name:^20}|{accuracy:^10.3f}|{robustness:^12.3f}|"
+                  f"{lost:^8.1f}|{eao:^7.3f}|")
+        print("-" * len(header))
+
+
+class EAOBenchmark:
+    def __init__(self, dataset, skipping=5, tags=("all",)):
+        self.dataset = dataset
+        self.skipping = skipping
+        self.tags = list(tags)
+        if dataset.name in ("VOT2018", "VOT2017"):
+            self.low, self.high, self.peak = 100, 356, 160
+        elif dataset.name == "VOT2016":
+            self.low, self.high, self.peak = 108, 371, 168
+        elif dataset.name == "VOT2019":
+            self.low, self.high, self.peak = 46, 291, 128
+        else:
+            self.low, self.high, self.peak = 100, 356, 160
+
+    def eval(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        return {t: self._calculate_eao(t, self.tags) for t in eval_trackers}
+
+    def show_result(self, result):
+        header = f"|{'Tracker name':^20}|{'EAO':^10}|"
+        print("-" * len(header))
+        print(header)
+        print("-" * len(header))
+        for name, eao in sorted(result.items(), key=lambda x: x[1]["all"],
+                                reverse=True):
+            print(f"|{name:^20}|{eao['all']:^10.3f}|")
+        print("-" * len(header))
+
+    def _calculate_eao(self, tracker_name, tags):
+        all_overlaps, all_failures = [], []
+        video_names, gt_traj_length = [], []
+        for video in self.dataset:
+            gt_traj = video.gt_traj
+            if tracker_name not in video.pred_trajs:
+                trajs = video.load_tracker(self.dataset.tracker_path,
+                                           tracker_name, False)
+            else:
+                trajs = video.pred_trajs[tracker_name]
+            for traj in trajs:
+                gt_traj_length.append(len(gt_traj))
+                video_names.append(video.name)
+                overlaps = calculate_accuracy(
+                    traj, gt_traj,
+                    bound=(video.width - 1, video.height - 1))[1]
+                failures = calculate_failures(traj)[1]
+                all_overlaps.append(overlaps)
+                all_failures.append(failures)
+        fragment_num = sum(len(x) + 1 for x in all_failures)
+        max_len = max(len(x) for x in all_overlaps)
+        seq_weight = 1 / len(trajs)
+
+        eao = {}
+        for tag in tags:
+            fweights = np.ones(fragment_num) * np.nan
+            fragments = np.ones((fragment_num, max_len)) * np.nan
+            seg_counter = 0
+            for name, traj_len, failures, overlaps in zip(
+                    video_names, gt_traj_length, all_failures, all_overlaps):
+                if len(failures) > 0:
+                    points = [x + self.skipping for x in failures
+                              if x + self.skipping <= len(overlaps)]
+                    points.insert(0, 0)
+                    for i in range(len(points)):
+                        if i != len(points) - 1:
+                            fragment = np.array(
+                                overlaps[points[i]:points[i + 1] + 1])
+                            fragments[seg_counter, :] = 0
+                        else:
+                            fragment = np.array(overlaps[points[i]:])
+                        fragment[np.isnan(fragment)] = 0
+                        fragments[seg_counter, :len(fragment)] = fragment
+                        if i != len(points) - 1:
+                            tag_value = self.dataset[name].select_tag(
+                                tag, points[i], points[i + 1] + 1)
+                            w = sum(tag_value) / (points[i + 1] - points[i] + 1)
+                        else:
+                            tag_value = self.dataset[name].select_tag(
+                                tag, points[i], len(overlaps))
+                            w = sum(tag_value) / (traj_len - points[i] + 1e-16)
+                        fweights[seg_counter] = seq_weight * w
+                        seg_counter += 1
+                else:
+                    max_idx = min(len(overlaps), max_len)
+                    fragments[seg_counter, :max_idx] = overlaps[:max_idx]
+                    tag_value = self.dataset[name].select_tag(tag, 0, max_idx)
+                    fweights[seg_counter] = seq_weight * sum(tag_value) / max_idx
+                    seg_counter += 1
+
+            expected_overlaps = calculate_expected_overlap(fragments, fweights)
+            weight = np.zeros(len(expected_overlaps))
+            weight[self.low - 1:self.high] = 1
+            is_valid = np.logical_not(np.isnan(expected_overlaps))
+            eao[tag] = np.sum(expected_overlaps[is_valid]
+                              * weight[is_valid]) / np.sum(weight[is_valid])
+        return eao
+
+
+class F1Benchmark:
+    """Long-term tracking precision/recall/F1 over confidence thresholds
+    (ref: pysot/evaluation/f1_benchmark.py)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def eval(self, eval_trackers):
+        if isinstance(eval_trackers, str):
+            eval_trackers = [eval_trackers]
+        ret = {}
+        for tracker_name in eval_trackers:
+            precision, recall, f1 = self._calculate(tracker_name)
+            ret[tracker_name] = {"precision": precision, "recall": recall,
+                                 "f1": f1}
+        return ret
+
+    def _calculate(self, tracker_name):
+        score = []
+        for video in self.dataset:
+            conf = video.confidence.get(tracker_name)
+            if conf is None:
+                continue
+            score += conf[1:]
+        score = np.array(score)
+        thresholds = determine_thresholds(score)[::-1]
+
+        precision = {}
+        recall = {}
+        f1 = {}
+        for video in self.dataset:
+            gt_traj = video.gt_traj
+            N = sum(1 for x in gt_traj if len(x) > 1)
+            traj = video.pred_trajs.get(tracker_name)
+            conf = video.confidence.get(tracker_name)
+            if traj is None:
+                continue
+            overlaps = calculate_accuracy(
+                traj, gt_traj, bound=(video.width, video.height))[1]
+            f1_, precision_, recall_ = calculate_f1(
+                overlaps, conf[1:], (video.width, video.height),
+                thresholds, N)
+            precision[video.name] = precision_
+            recall[video.name] = recall_
+            f1[video.name] = f1_
+        return precision, recall, f1
+
+    def show_result(self, result):
+        header = f"|{'Tracker name':^20}|{'Precision':^11}|{'Recall':^8}|" \
+                 f"{'F1':^7}|"
+        print("-" * len(header))
+        print(header)
+        print("-" * len(header))
+        for name, ret in result.items():
+            precision = np.mean(list(ret["precision"].values()), axis=0)
+            recall = np.mean(list(ret["recall"].values()), axis=0)
+            f1 = 2 * precision * recall / (precision + recall + 1e-16)
+            max_idx = np.argmax(f1)
+            print(f"|{name:^20}|{precision[max_idx]:^11.3f}|"
+                  f"{recall[max_idx]:^8.3f}|{f1[max_idx]:^7.3f}|")
+        print("-" * len(header))
