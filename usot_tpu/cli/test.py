@@ -1,0 +1,148 @@
+"""Benchmark test CLI (ref: scripts/test_usot.py).
+
+Runs the tracker over a benchmark and writes raw result files in formats
+bit-compatible with the reference:
+  VOT:  var/result/<ds>/<arch>/baseline/<video>/<video>_001.txt with the
+        1/poly/2 restart protocol and 5-frame skip
+  GOT:  per-video dir + <video>_001.txt + <video>_time.txt
+  else: var/result/<ds>/<arch>/<video>.txt (1-indexed x,y)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from os.path import join
+
+import numpy as np
+
+from usot_tpu.core.geometry import cxy_wh_2_rect, get_axis_aligned_bbox
+from usot_tpu.data.benchmark import load_dataset
+from usot_tpu.eval.polygon import poly_iou
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="USOT-TPU testing")
+    parser.add_argument("--arch", default="USOT")
+    parser.add_argument("--resume", default="var/snapshot/USOT_star.pth")
+    parser.add_argument("--dataset", default="VOT2018")
+    parser.add_argument("--dataset_root", default=None)
+    parser.add_argument("--epoch_test", default=False, type=bool)
+    parser.add_argument("--result_dir", default="var/result")
+    parser.add_argument("--mem_size", default=4, type=int)
+    return parser.parse_args(argv)
+
+
+def track_video(tracker, runner, video, args):
+    start_frame, toc = 0, 0.0
+
+    if args.epoch_test:
+        suffix = os.path.splitext(os.path.basename(args.resume))[0]
+        tracker_path = join(args.result_dir, args.dataset, args.arch + suffix)
+    else:
+        tracker_path = join(args.result_dir, args.dataset, args.arch)
+    os.makedirs(tracker_path, exist_ok=True)
+
+    if "VOT" in args.dataset:
+        video_path = join(tracker_path, "baseline", video["name"])
+        os.makedirs(video_path, exist_ok=True)
+        result_path = join(video_path, video["name"] + "_001.txt")
+    elif "GOT" in args.dataset:
+        video_path = join(tracker_path, video["name"])
+        os.makedirs(video_path, exist_ok=True)
+        result_path = join(video_path, video["name"] + "_001.txt")
+        time_path = join(video_path, f"{video['name']}_time.txt")
+    else:
+        result_path = join(tracker_path, f"{video['name']}.txt")
+
+    if os.path.exists(result_path):
+        return
+
+    import cv2
+
+    regions = []
+    track_times = []
+    image_files, gt = video["image_files"], video["gt"]
+    state = None
+    for f, image_file in enumerate(image_files):
+        im = cv2.imread(image_file)
+        if im is None:
+            continue
+        if len(im.shape) == 2:
+            im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+
+        tic = time.perf_counter()
+        if f == start_frame:
+            cx, cy, w, h = get_axis_aligned_bbox(np.asarray(gt[f]))
+            target_pos = np.array([cx, cy])
+            target_sz = np.array([w, h])
+            state = tracker.init(im, target_pos, target_sz, runner)
+            location = cxy_wh_2_rect(state["target_pos"], state["target_sz"])
+            regions.append(1 if "VOT" in args.dataset else gt[f])
+        elif f > start_frame:
+            state = tracker.track(state, im)
+            location = cxy_wh_2_rect(state["target_pos"], state["target_sz"])
+            b_overlap = poly_iou(np.asarray(gt[f]), location) \
+                if "VOT" in args.dataset else 1
+            if b_overlap > 0:
+                regions.append(location)
+            else:
+                regions.append(2)
+                start_frame = f + 5
+        else:
+            regions.append(0)
+        dt = time.perf_counter() - tic
+        toc += dt
+        if "GOT" in args.dataset:
+            track_times.append(dt)
+
+    with open(result_path, "w") as fin:
+        if "VOT" in args.dataset:
+            for x in regions:
+                if isinstance(x, int):
+                    fin.write("{:d}\n".format(x))
+                else:
+                    fin.write(",".join(str(i) for i in x) + "\n")
+        else:
+            for x in regions:
+                bbox = list(np.asarray(x).ravel())
+                fin.write(",".join(
+                    str(i + 1) if idx in (0, 1) else str(i)
+                    for idx, i in enumerate(bbox)) + "\n")
+
+    if "GOT" in args.dataset:
+        with open(time_path, "w") as fh:
+            for x in track_times:
+                fh.write(f"{x:.6f}\n")
+
+    print("Video: {:12s} Time: {:2.1f}s Speed: {:3.1f}fps".format(
+        video["name"], toc, f / max(toc, 1e-9)))
+
+
+def main(argv=None):
+    import jax
+
+    from usot_tpu.models.usot import build_usot, init_variables
+    from usot_tpu.tracker.runner import ModelRunner
+    from usot_tpu.tracker.tracker import USOTTracker
+    from usot_tpu.train.checkpoint import load_variables
+
+    args = parse_args(argv)
+
+    model = build_usot(mem_size=args.mem_size)
+    if args.resume and os.path.exists(args.resume):
+        variables = load_variables(args.resume)
+    else:
+        print(f"warning: checkpoint {args.resume} not found; random init")
+        variables = init_variables(model, jax.random.PRNGKey(0))
+    runner = ModelRunner(model, variables)
+
+    dataset = load_dataset(args.dataset, args.dataset_root)
+    tracker = USOTTracker()
+
+    for name in list(dataset.keys()):
+        track_video(tracker, runner, dataset[name], args)
+
+
+if __name__ == "__main__":
+    main()
