@@ -1,15 +1,14 @@
-"""Headline benchmark: single-chip tracking FPS (USOT* full pipeline:
-search crop -> backbone -> offline+online heads -> postprocess -> memory
-queue update, per frame).
+"""Headline benchmark: single-chip USOT* tracking FPS with the on-device
+scan engine (crop -> backbone -> offline+online heads -> postprocess ->
+memory update, all inside one lax.scan per chunk of frames).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference paper's real-time claim (~58 FPS on a single GPU,
-arXiv 2108.12711); the repo itself publishes no FPS table
+arXiv 2108.12711); the repo publishes no FPS table
 (ref: scripts/test_usot.py:130-131 only prints per-video FPS).
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -19,7 +18,7 @@ BASELINE_FPS = 58.0
 
 def synthetic_video(n_frames, h=480, w=640, box=60, seed=0):
     rng = np.random.default_rng(seed)
-    base = (rng.random((h, w, 3)) * 60).astype(np.uint8)
+    base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
     frames = []
     for f in range(n_frames):
         im = base.copy()
@@ -35,10 +34,12 @@ def main():
     import jax
 
     from usot_tpu.models.usot import build_usot, init_variables
+    from usot_tpu.tracker.config import TrackerConfig
+    from usot_tpu.tracker.engine import ScanEngine
     from usot_tpu.tracker.runner import ModelRunner
-    from usot_tpu.tracker.tracker import USOTTracker
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "150"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     frames = synthetic_video(n_frames)
 
     model = build_usot(mem_size=4)
@@ -47,26 +48,33 @@ def main():
         from usot_tpu.train.checkpoint import load_variables
         variables = load_variables(ckpt)
     else:
+        from usot_tpu.models.calibrate import calibrate_batch_stats
         variables = init_variables(model, jax.random.PRNGKey(0))
+        variables = calibrate_batch_stats(model, variables, n_iter=8)
     runner = ModelRunner(model, variables)
 
-    tracker = USOTTracker()
-    state = tracker.init(frames[0], np.array([200.0, 240.0]),
-                         np.array([60.0, 60.0]), runner)
+    p = TrackerConfig()
+    p.instance_size = p.small_sz
+    p.renew()
+    p.sf_size = p.score_size
 
-    # Warmup (compile + cache)
-    warm = 10
-    for im in frames[1:1 + warm]:
-        state = tracker.track(state, im)
+    engine = ScanEngine(model, variables, p, im_h=frames[0].shape[0],
+                        im_w=frames[0].shape[1],
+                        max_frames=max(1024, n_frames + 8), chunk=chunk)
+    state = engine.init_state(frames[0], np.array([200.0, 240.0]),
+                              np.array([60.0, 60.0]), runner)
+
+    all_frames = np.stack(frames[1:])
+    # Warmup chunk (compile)
+    state, _, _, _ = engine.track_frames(state, all_frames[:chunk])
 
     t0 = time.perf_counter()
-    for im in frames[1 + warm:]:
-        state = tracker.track(state, im)
-    jax.block_until_ready(state["memory_features"][-1])
+    state, pos, sz, score = engine.track_frames(state, all_frames[chunk:])
     dt = time.perf_counter() - t0
-    n = len(frames) - 1 - warm
+    n = len(all_frames) - chunk
     fps = n / dt
 
+    assert np.all(np.isfinite(pos)), "non-finite trajectory"
     print(json.dumps({
         "metric": "usot_star_tracking_fps_per_chip",
         "value": round(fps, 2),

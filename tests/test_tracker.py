@@ -2,6 +2,7 @@ import numpy as np
 import jax
 import pytest
 
+from usot_tpu.models.calibrate import calibrate_batch_stats
 from usot_tpu.models.usot import build_usot, init_variables
 from usot_tpu.tracker.runner import ModelRunner
 from usot_tpu.tracker.tracker import USOTTracker
@@ -12,7 +13,7 @@ def synthetic_video(n_frames=12, size=320, box=48, seed=0):
     rng = np.random.default_rng(seed)
     frames, centers = [], []
     for f in range(n_frames):
-        im = (rng.random((size, size, 3)) * 40).astype(np.uint8)
+        im = (rng.random((size, size, 3)) * 255).astype(np.uint8)
         cx = 100 + 6 * f
         cy = 120 + 3 * f
         im[cy - box // 2: cy + box // 2, cx - box // 2: cx + box // 2] = [
@@ -26,6 +27,7 @@ def synthetic_video(n_frames=12, size=320, box=48, seed=0):
 def runner():
     model = build_usot(mem_size=2)
     variables = init_variables(model, jax.random.PRNGKey(1))
+    variables = calibrate_batch_stats(model, variables, n_iter=10)
     return ModelRunner(model, variables)
 
 

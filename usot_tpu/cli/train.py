@@ -1,0 +1,143 @@
+"""Training CLI (ref: scripts/train_usot.py).
+
+Epoch loop with the reference schedule: naive Siamese until MEMORY_EPOCH,
+cycle memory after; backbone (layer1-3) unfrozen at UNFIX_EPOCH; warmup +
+log LR decay; checkpoints from epoch 5. Data parallel over all local TPU
+devices via a 1-D mesh.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from usot_tpu.config.defaults import load_config
+from usot_tpu.data.dataset import USOTDataset
+from usot_tpu.data.loader import DataLoader
+from usot_tpu.models.usot import build_usot, init_variables
+from usot_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from usot_tpu.train.checkpoint import (restore_checkpoint, save_model_epoch)
+from usot_tpu.train.optim import build_optimizer
+from usot_tpu.train.schedulers import build_lr_spaces
+from usot_tpu.train.step import TrainState, epoch_weights, make_train_step
+from usot_tpu.utils.meters import AverageMeter, create_logger, print_speed
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train USOT-TPU")
+    parser.add_argument("--cfg", default="experiments/train/USOT.yaml")
+    parser.add_argument("--workers", type=int, default=None)
+    parser.add_argument("--devices", type=int, default=None,
+                        help="number of TPU devices for DP")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_config(args.cfg if os.path.exists(args.cfg) else None)
+    if args.workers:
+        cfg.WORKERS = args.workers
+    tc = cfg.USOT.TRAIN
+
+    logger, _ = create_logger(cfg.OUTPUT_DIR, "USOT", "train")
+    logger.info("config: %s", cfg)
+
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_data=n_dev)
+    logger.info("devices: %d (mesh %s)", n_dev, mesh.shape)
+
+    model = build_usot(mem_size=tc.MEMORY_NUM)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+
+    pretrain_path = os.path.join("pretrain", tc.PRETRAIN)
+    if os.path.exists(pretrain_path):
+        from usot_tpu.models.convert import load_pretrain
+        variables = load_pretrain(variables, pretrain_path)
+        logger.info("loaded pretrain %s", pretrain_path)
+    else:
+        logger.warning("pretrain %s not found; training from scratch",
+                       pretrain_path)
+
+    lr_spaces = build_lr_spaces(tc, tc.END_EPOCH)
+
+    def build_state(params, batch_stats, epoch):
+        unfix = epoch >= tc.UNFIX_EPOCH
+        tx, _ = build_optimizer(params, tc.MOMENTUM, tc.WEIGHT_DECAY,
+                                tc.LAYERS_LR, unfix,
+                                tuple(tc.TRAINABLE_LAYER))
+        return tx, TrainState(params, batch_stats, tx.init(params))
+
+    start_epoch = tc.START_EPOCH
+    tx, state = build_state(variables["params"], variables["batch_stats"],
+                            start_epoch)
+    if tc.RESUME and isinstance(tc.RESUME, str) and os.path.exists(tc.RESUME):
+        state, start_epoch = restore_checkpoint(tc.RESUME, state)
+        start_epoch += 1
+        logger.info("resumed from %s at epoch %d", tc.RESUME, start_epoch)
+
+    state = replicate_tree(mesh, state)
+
+    global_step = 0
+    for epoch in range(start_epoch, tc.END_EPOCH + 1):
+        cycle_memory = epoch >= tc.MEMORY_EPOCH
+        if epoch == tc.UNFIX_EPOCH:
+            logger.info("unfreezing backbone layers %s", tc.TRAINABLE_LAYER)
+            tx, new_state = build_state(
+                jax.tree.map(np.asarray, state.params),
+                jax.tree.map(np.asarray, state.batch_stats), epoch)
+            state = replicate_tree(mesh, new_state)
+
+        lambda_1, lambda_total, cls_ratio = epoch_weights(tc, epoch)
+        step_fn = make_train_step(
+            model, tx, cycle_memory=cycle_memory,
+            stage_bn_train=epoch >= tc.UNFIX_EPOCH, lambda_1=lambda_1,
+            lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE)
+
+        dataset = USOTDataset(cfg, seed=epoch)
+        dataset.cycle_memory = cycle_memory
+        batch_size = (tc.BATCH_STAGE_2 if cycle_memory else tc.BATCH) * n_dev
+        loader = DataLoader(dataset, batch_size, num_workers=cfg.WORKERS)
+
+        lr = float(lr_spaces[epoch - 1])
+        logger.info("epoch %d lr %.6f cycle_memory=%s batch=%d",
+                    epoch, lr, cycle_memory, batch_size)
+
+        batch_time = AverageMeter()
+        losses = AverageMeter()
+        end = time.time()
+        for it, batch in enumerate(loader):
+            batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch, jnp.float32(lr),
+                                     jnp.float32(cls_ratio))
+            loss = float(metrics["loss"])
+            losses.update(loss, batch_size)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            global_step += 1
+            if (it + 1) % cfg.PRINT_FREQ == 0:
+                logger.info(
+                    "Epoch: [%d][%d/%d] lr: %.6f Batch Time: %.3fs "
+                    "CLS_ORI: %.5f CLS_MEM: %.5f REG: %.5f Loss: %.5f",
+                    epoch, it + 1, len(loader), lr, batch_time.avg,
+                    float(metrics["cls_loss_ori"]),
+                    float(metrics["cls_loss_memory"]),
+                    float(metrics["reg_loss"]), losses.avg)
+                print_speed(global_step, batch_time.avg,
+                            tc.END_EPOCH * len(loader), logger)
+
+        host_state = TrainState(jax.tree.map(np.asarray, state.params),
+                                jax.tree.map(np.asarray, state.batch_stats),
+                                state.opt_state)
+        path = save_model_epoch(cfg.CHECKPOINT_DIR, host_state, epoch)
+        if path:
+            logger.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""VOT2020 / TraX protocol wrapper (ref: scripts/test_vot2020.py, vot.py).
+
+Speaks the TraX text protocol over stdin/stdout when launched by the
+vot-toolkit: handshake, per-frame region reports with confidence. The
+`trax` package is not baked into this image; the wrapper degrades to a
+clear error message if the toolkit isn't present.
+"""
+from __future__ import annotations
+
+import collections
+import sys
+
+import numpy as np
+
+Rectangle = collections.namedtuple("Rectangle", ["x", "y", "width", "height"])
+Point = collections.namedtuple("Point", ["x", "y"])
+Polygon = collections.namedtuple("Polygon", ["points"])
+
+
+class VOT:
+    """Minimal TraX client (ref: scripts/vot.py:26-121)."""
+
+    def __init__(self, region_format, channels=None):
+        try:
+            import trax
+        except ImportError as e:
+            raise RuntimeError(
+                "the `trax` package is required for VOT-toolkit integration; "
+                "install it inside the vot workspace environment") from e
+
+        assert region_format in (trax.Region.RECTANGLE, trax.Region.POLYGON)
+        if channels is None:
+            channels = ["color"]
+        self._trax = trax
+        self._handle = trax.Server([region_format], [trax.Image.PATH],
+                                   channels)
+        request = self._handle.wait()
+        assert request.type == "initialize"
+        if isinstance(request.region, trax.Polygon):
+            self._region = Polygon([Point(x[0], x[1])
+                                    for x in request.region])
+        else:
+            self._region = Rectangle(*request.region.bounds())
+        self._image = [x.path() for k, x in request.image.items()]
+        if len(self._image) == 1:
+            self._image = self._image[0]
+        self._handle.status(request.region)
+
+    def region(self):
+        return self._region
+
+    def report(self, region, confidence=None):
+        trax = self._trax
+        assert isinstance(region, (Rectangle, Polygon))
+        if isinstance(region, Polygon):
+            tregion = trax.Polygon.create([(x.x, x.y) for x in region.points])
+        else:
+            tregion = trax.Rectangle.create(region.x, region.y, region.width,
+                                            region.height)
+        properties = {}
+        if confidence is not None:
+            properties["confidence"] = confidence
+        self._handle.status(tregion, properties)
+
+    def frame(self):
+        if hasattr(self, "_image"):
+            image = self._image
+            del self._image
+            return image
+        request = self._handle.wait()
+        if request.type == "frame":
+            image = [x.path() for k, x in request.image.items()]
+            return image[0] if len(image) == 1 else image
+        return None
+
+    def quit(self):
+        if hasattr(self, "_handle"):
+            self._handle.quit()
+
+
+def run(ckpt_path: str = "var/snapshot/USOT_star.pth"):
+    import jax
+
+    from usot_tpu.core.geometry import cxy_wh_2_rect, get_axis_aligned_bbox
+    from usot_tpu.models.usot import build_usot, init_variables
+    from usot_tpu.tracker.runner import ModelRunner
+    from usot_tpu.tracker.tracker import USOTTracker
+    from usot_tpu.train.checkpoint import load_variables
+    import cv2
+    import os
+
+    model = build_usot(mem_size=4)
+    if os.path.exists(ckpt_path):
+        variables = load_variables(ckpt_path)
+    else:
+        variables = init_variables(model, jax.random.PRNGKey(0))
+    runner = ModelRunner(model, variables)
+    tracker = USOTTracker()
+
+    handle = VOT("rectangle")
+    region = handle.region()
+    image_file = handle.frame()
+    if not image_file:
+        sys.exit(0)
+
+    im = cv2.imread(image_file)
+    cx, cy, w, h = get_axis_aligned_bbox(
+        np.array([region.x, region.y, region.width, region.height]))
+    state = tracker.init(im, np.array([cx, cy]), np.array([w, h]), runner)
+
+    while True:
+        image_file = handle.frame()
+        if not image_file:
+            break
+        im = cv2.imread(image_file)
+        state = tracker.track(state, im)
+        rect = cxy_wh_2_rect(state["target_pos"], state["target_sz"])
+        handle.report(Rectangle(rect[0], rect[1], rect[2], rect[3]),
+                      state.get("cls_score", 1.0))
+    handle.quit()
+
+
+if __name__ == "__main__":
+    run(sys.argv[1] if len(sys.argv) > 1 else "var/snapshot/USOT_star.pth")

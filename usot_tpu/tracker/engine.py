@@ -1,0 +1,304 @@
+"""Scan tracking engine: the whole per-frame step — crop, backbone, heads,
+memory queue, postprocess — lives on device inside a lax.scan, so a video
+is tracked in a handful of dispatches (frames stream HBM-resident).
+
+This is the TPU-native answer to the reference's per-frame host/device
+ping-pong (ref: lib/tracker/usot_tracker.py track(): NumPy crop + CUDA
+forward + NumPy penalties every frame). Functional carry:
+
+  pos, sz, zf, init feature anchors, memory ring buffer + confidences,
+  memory length — all static shapes (SURVEY §5.7's bounded-state design).
+
+Chunked: frames are uploaded in fixed-size uint8 chunks; carry crosses
+chunks, so per-video device memory is bounded and H2D overlaps compute.
+One compilation per (frame H, frame W, instance_size) bucket.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from usot_tpu.core.crop import get_subwindow, subwindow_jax
+from usot_tpu.core.geometry import feature_axis, python2round, score_grid
+from usot_tpu.models.usot import USOTNet
+from usot_tpu.tracker.config import TrackerConfig
+from usot_tpu.tracker.postprocess import hanning_window
+from usot_tpu.tracker.tracker import _clip_number, _flip_lr
+
+
+class EngineState(NamedTuple):
+    pos: Any          # (2,) f32 image coords
+    sz: Any           # (2,) f32
+    zf: Any           # (1, 7, 7, 256)
+    init_feats: Any   # (2, 7, 7, 256)
+    mem_feat: Any     # (MAX, 7, 7, 256)
+    mem_conf: Any     # (MAX,)
+    mem_len: Any      # () int32
+
+
+def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_len,
+                           n_queue: int):
+    """In-graph replica of the reference memory-queue sampling
+    (ref: usot_tracker.py:222-256, incl. the documented index deviation).
+    Returns (n_queue, 7, 7, C)."""
+    max_frames = mem_feat.shape[0]
+    n_update = n_queue - 3
+    L = mem_len.astype(jnp.float32)
+    iota = jnp.arange(max_frames)
+
+    picks = []
+    gap = (L - 1.0) / n_update
+    for i in range(n_update):
+        start = jnp.minimum(jnp.floor(jnp.floor(i * gap) * L), L - 1.0)
+        end = jnp.minimum(jnp.floor(jnp.floor((i + 1) * gap) * L), L - 1.0)
+        start_i = start.astype(jnp.int32)
+        end_i = end.astype(jnp.int32)
+        masked = jnp.where((iota >= start_i) & (iota < end_i), mem_conf,
+                           -jnp.inf)
+        seg_best = jnp.argmax(masked).astype(jnp.int32)
+        idx = jnp.where(start_i >= end_i, start_i, seg_best)
+        picks.append(idx)
+    picks.append(jnp.maximum(mem_len - 1, 0).astype(jnp.int32))
+
+    # mem_len <= 1 fallback: every sampled slot reads frame 0
+    picks = [jnp.where(mem_len <= 1, 0, p) for p in picks]
+    sampled = mem_feat[jnp.stack(picks)]          # (n_update+1, 7, 7, C)
+    return jnp.concatenate([init_feats, sampled], axis=0)
+
+
+class ScanEngine:
+    """Per-(video-shape) jitted chunk tracker. Use via VideoTracker below."""
+
+    def __init__(self, model: USOTNet, variables, p: TrackerConfig,
+                 im_h: int, im_w: int, max_frames: int = 4096,
+                 chunk: int = 64):
+        self.model = model
+        self.variables = variables
+        self.p = p
+        self.im_h, self.im_w = im_h, im_w
+        self.max_frames = max_frames
+        self.chunk = chunk
+
+        instance = p.instance_size
+        score = p.score_size
+        gx, gy = score_grid(score, p.total_stride, instance)
+        window = hanning_window(score)
+        sf_axis = feature_axis(p.sf_size, p.total_stride, instance)
+        self._consts = dict(
+            gx=jnp.asarray(gx), gy=jnp.asarray(gy),
+            window=jnp.asarray(window, jnp.float32),
+            sf_min=float(sf_axis[0]), sf_max=float(sf_axis[-1]),
+            sf_slope=(2 * (p.sf_size // 2)) / float(sf_axis[-1] - sf_axis[0]),
+        )
+
+        self._chunk_fn = jax.jit(self._make_chunk_fn(),
+                                 donate_argnums=(1,))
+
+    # ---- one frame ----
+
+    def _frame_step(self, variables, avg, carry: EngineState, frame_u8):
+        p = self.p
+        c = self._consts
+        model = self.model
+
+        pos, sz = carry.pos, carry.sz
+        wc_z = sz[0] + p.context_amount * (sz[0] + sz[1])
+        hc_z = sz[1] + p.context_amount * (sz[0] + sz[1])
+        s_z = jnp.sqrt(wc_z * hc_z)
+        scale_z = p.exemplar_size / s_z
+        d_search = (p.instance_size - p.exemplar_size) / 2
+        s_x = jnp.round(s_z + 2 * d_search / scale_z)
+
+        frame = frame_u8.astype(jnp.float32)
+        x_crop = subwindow_jax(frame, pos[0], pos[1], s_x, avg,
+                               p.instance_size)
+
+        xf = model.apply(variables, x_crop[None],
+                         method=USOTNet.search_features)
+        queue = _assemble_queue_traced(carry.init_feats, carry.mem_feat,
+                                       carry.mem_conf, carry.mem_len,
+                                       p.mem_queue_size)
+        cls, bbox, cls_mem = model.apply(variables, xf, carry.zf, queue,
+                                         method=USOTNet.track_memory)
+        cls_score = jax.nn.sigmoid(cls[0, :, :, 0])
+        cls_memory = jax.nn.sigmoid(cls_mem[0, :, :, 0])
+        cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
+
+        bp = bbox[0]  # (S, S, 4)
+        pred_x1 = c["gx"] - bp[..., 0]
+        pred_y1 = c["gy"] - bp[..., 1]
+        pred_x2 = c["gx"] + bp[..., 2]
+        pred_y2 = c["gy"] + bp[..., 3]
+
+        target_sz_crop = sz * scale_z
+        w, h = target_sz_crop[0], target_sz_crop[1]
+
+        def _sz(a, b):
+            pad = (a + b) * 0.5
+            return jnp.sqrt((a + pad) * (b + pad))
+
+        def _change(r):
+            return jnp.maximum(r, 1.0 / r)
+
+        s_c = _change(_sz(pred_x2 - pred_x1, pred_y2 - pred_y1) / _sz(w, h))
+        r_c = _change((w / h) / ((pred_x2 - pred_x1) / (pred_y2 - pred_y1)))
+        penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
+        pscore = penalty * cls_score
+        pscore = pscore * (1 - p.window_influence) \
+            + c["window"] * p.window_influence
+        # Degenerate-prediction guard (see postprocess.py): NaN cells lose
+        pscore = jnp.where(jnp.isnan(pscore), -jnp.inf, pscore)
+
+        flat = jnp.argmax(pscore)
+        r_max = flat // pscore.shape[1]
+        c_max = flat % pscore.shape[1]
+
+        bx1 = pred_x1[r_max, c_max]
+        by1 = pred_y1[r_max, c_max]
+        bx2 = pred_x2[r_max, c_max]
+        by2 = pred_y2[r_max, c_max]
+
+        pred_xs = (bx1 + bx2) / 2
+        pred_ys = (by1 + by2) / 2
+        diff_xs = (pred_xs - p.instance_size // 2) / scale_z
+        diff_ys = (pred_ys - p.instance_size // 2) / scale_z
+        pred_w = (bx2 - bx1) / scale_z
+        pred_h = (by2 - by1) / scale_z
+
+        lr = penalty[r_max, c_max] * cls_score[r_max, c_max] * p.lr
+        res_w = pred_w * lr + (1 - lr) * sz[0]
+        res_h = pred_h * lr + (1 - lr) * sz[1]
+        new_pos = jnp.stack([pos[0] + diff_xs, pos[1] + diff_ys])
+        new_sz = jnp.stack([sz[0] * (1 - lr) + lr * res_w,
+                            sz[1] * (1 - lr) + lr * res_h])
+
+        best_score = cls_score[r_max, c_max]
+
+        # Pool this frame's feature by the predicted crop bbox
+        gap = 1.0 / c["sf_slope"]
+        crop_bbox = jnp.stack([bx1, by1, bx2, by2])
+        crop_bbox = jnp.clip(crop_bbox, c["sf_min"] - gap, c["sf_max"] + gap)
+        pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
+        feat = model.apply(variables, xf, pool_bbox[None],
+                           method=USOTNet.pool_memory_feature)  # (1,7,7,C)
+
+        write_idx = jnp.minimum(carry.mem_len, self.max_frames - 1)
+        mem_feat = jax.lax.dynamic_update_slice(
+            carry.mem_feat, feat, (write_idx, 0, 0, 0))
+        mem_conf = jax.lax.dynamic_update_slice(
+            carry.mem_conf, best_score[None], (write_idx,))
+        mem_len = jnp.minimum(carry.mem_len + 1, self.max_frames - 1)
+
+        new_pos = jnp.stack([
+            jnp.clip(new_pos[0], 0.0, float(self.im_w)),
+            jnp.clip(new_pos[1], 0.0, float(self.im_h))])
+        new_sz = jnp.stack([
+            jnp.clip(new_sz[0], 10.0, float(self.im_w)),
+            jnp.clip(new_sz[1], 10.0, float(self.im_h))])
+
+        new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
+                                mem_feat, mem_conf, mem_len)
+        return new_carry, (new_pos, new_sz, best_score)
+
+    def _make_chunk_fn(self):
+        def chunk_fn(variables, carry, frames_u8, valid, avg):
+            def body(carry, xs):
+                frame, is_valid = xs
+                new_carry, out = self._frame_step(variables, avg, carry,
+                                                  frame)
+                keep = lambda n, o: jnp.where(is_valid, n, o)
+                sel_carry = jax.tree.map(keep, new_carry, carry)
+                return sel_carry, out
+
+            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid))
+            return carry, outs
+
+        return chunk_fn
+
+    # ---- host API ----
+
+    def init_state(self, im, target_pos, target_sz, runner) -> EngineState:
+        """Host-side per-video init: template + memory bootstrap (2 host
+        crops, matching the reference init; ref: usot_tracker.py:22-131)."""
+        p = self.p
+        target_pos = np.asarray(target_pos, np.float64)
+        target_sz = np.asarray(target_sz, np.float64)
+        self.avg_chans = np.mean(im, axis=(0, 1))
+
+        wc_z = target_sz[0] + p.context_amount * target_sz.sum()
+        hc_z = target_sz[1] + p.context_amount * target_sz.sum()
+        s_z = round(np.sqrt(wc_z * hc_z))
+
+        tf_axis = feature_axis(p.tf_size, p.total_stride, p.exemplar_size)
+        z_crop, info = get_subwindow(im, target_pos, p.exemplar_size, s_z,
+                                     self.avg_chans, target_sz,
+                                     need_bbox=True)
+        tb = np.clip(np.asarray(info["template_bbox"], np.float32),
+                     tf_axis[0], tf_axis[-1])
+        tb = (tb - tf_axis[0]) * (2 * (p.tf_size // 2)) / (tf_axis[-1]
+                                                           - tf_axis[0])
+        zf = runner.template(np.asarray(z_crop, np.float32), tb)
+
+        s_z_f = np.sqrt(wc_z * hc_z)
+        scale_z = p.exemplar_size / s_z_f
+        s_x = s_z_f + 2 * ((p.instance_size - p.exemplar_size) / 2) / scale_z
+        x_crop, info = get_subwindow(im, target_pos, p.instance_size,
+                                     python2round(s_x), self.avg_chans,
+                                     target_sz, need_bbox=True)
+        sf_axis = feature_axis(p.sf_size, p.total_stride, p.instance_size)
+
+        def pool_label(bbox):
+            gap = (sf_axis[-1] - sf_axis[0]) / (2 * (p.sf_size // 2))
+            b = np.clip(np.asarray(bbox, np.float32), sf_axis[0] - gap,
+                        sf_axis[-1] + gap)
+            return (b - sf_axis[0]) / gap
+
+        feat0 = runner.extract_memory_feature(
+            x_hwc=np.asarray(x_crop, np.float32),
+            search_bbox=pool_label(info["template_bbox"]))
+        x_aug, bbox_aug = _flip_lr(np.asarray(x_crop), info["template_bbox"])
+        bbox_aug = [_clip_number(bbox_aug[0], _max=x_aug.shape[0]),
+                    _clip_number(bbox_aug[1], _max=x_aug.shape[1]),
+                    _clip_number(bbox_aug[2], _max=x_aug.shape[0]),
+                    _clip_number(bbox_aug[3], _max=x_aug.shape[1])]
+        feat1 = runner.extract_memory_feature(
+            x_hwc=x_aug.astype(np.float32), search_bbox=pool_label(bbox_aug))
+
+        mem_feat = jnp.zeros((self.max_frames, 7, 7, 256), jnp.float32)
+        mem_feat = mem_feat.at[0].set(feat0[0])
+        mem_conf = jnp.zeros((self.max_frames,), jnp.float32)
+        mem_conf = mem_conf.at[0].set(0.9)
+        init_feats = jnp.concatenate([feat0, feat1], axis=0)
+
+        return EngineState(
+            pos=jnp.asarray(target_pos, jnp.float32),
+            sz=jnp.asarray(target_sz, jnp.float32),
+            zf=zf, init_feats=init_feats, mem_feat=mem_feat,
+            mem_conf=mem_conf, mem_len=jnp.asarray(1, jnp.int32))
+
+    def track_frames(self, state: EngineState, frames_u8: np.ndarray):
+        """Track a batch of frames (N, H, W, 3) uint8. Returns
+        (state, positions (N,2), sizes (N,2), scores (N,))."""
+        n = len(frames_u8)
+        avg = jnp.asarray(self.avg_chans, jnp.float32)
+        all_pos, all_sz, all_score = [], [], []
+        for i in range(0, n, self.chunk):
+            block = frames_u8[i:i + self.chunk]
+            nb = len(block)
+            if nb < self.chunk:
+                pad = np.repeat(block[-1:], self.chunk - nb, axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            valid = jnp.asarray(
+                np.arange(self.chunk) < nb)
+            state, (pos, sz, score) = self._chunk_fn(
+                self.variables, state, jnp.asarray(block), valid, avg)
+            all_pos.append(np.asarray(pos[:nb]))
+            all_sz.append(np.asarray(sz[:nb]))
+            all_score.append(np.asarray(score[:nb]))
+        return state, np.concatenate(all_pos), np.concatenate(all_sz), \
+            np.concatenate(all_score)

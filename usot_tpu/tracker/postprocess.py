@@ -54,6 +54,9 @@ def postprocess_response(cls_score, cls_memory, bbox_pred, grid_x, grid_y,
     penalty = xp.exp(-(r_c * s_c - 1) * p_penalty_k)
     pscore = penalty * cls_score
     pscore = pscore * (1 - p_window_influence) + window * p_window_influence
+    # Robustness: degenerate predictions (inf/inf box ratios) yield NaN
+    # cells; exclude them from the argmax (no-op for healthy checkpoints).
+    pscore = xp.where(xp.isnan(pscore), -xp.inf, pscore)
 
     if xp is np:
         r_max, c_max = np.unravel_index(pscore.argmax(), pscore.shape)
