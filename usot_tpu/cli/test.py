@@ -30,6 +30,11 @@ def parse_args(argv=None):
     parser.add_argument("--epoch_test", default=False, type=bool)
     parser.add_argument("--result_dir", default="var/result")
     parser.add_argument("--mem_size", default=4, type=int)
+    parser.add_argument("--engine", default="parity",
+                        choices=["parity", "scan"],
+                        help="parity: host loop (reference-exact); "
+                             "scan: on-device lax.scan fast path")
+    parser.add_argument("--chunk", default=64, type=int)
     return parser.parse_args(argv)
 
 
@@ -119,6 +124,119 @@ def track_video(tracker, runner, video, args):
         video["name"], toc, f / max(toc, 1e-9)))
 
 
+def track_video_scan(model, variables, runner, video, args, engines):
+    """Fast path: whole-video on-device scan; VOT restarts re-enter the
+    scan from frame f+5 with a fresh init (host checks overlaps)."""
+    import cv2
+
+    from usot_tpu.tracker.config import TrackerConfig
+    from usot_tpu.tracker.engine import ScanEngine
+
+    if args.epoch_test:
+        suffix = os.path.splitext(os.path.basename(args.resume))[0]
+        tracker_path = join(args.result_dir, args.dataset, args.arch + suffix)
+    else:
+        tracker_path = join(args.result_dir, args.dataset, args.arch)
+    os.makedirs(tracker_path, exist_ok=True)
+    is_vot = "VOT" in args.dataset
+    if is_vot:
+        video_path = join(tracker_path, "baseline", video["name"])
+        os.makedirs(video_path, exist_ok=True)
+        result_path = join(video_path, video["name"] + "_001.txt")
+    else:
+        result_path = join(tracker_path, f"{video['name']}.txt")
+    if os.path.exists(result_path):
+        return
+
+    image_files, gt = video["image_files"], video["gt"]
+    frames = []
+    for f in image_files:
+        im = cv2.imread(f)
+        if im is not None and len(im.shape) == 2:
+            im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+        frames.append(im)
+    n = len(frames)
+    t0 = time.perf_counter()
+
+    def get_engine(im, target_sz):
+        p = TrackerConfig()
+        small = ((target_sz[0] * target_sz[1])
+                 / float(im.shape[0] * im.shape[1])) >= 0.004
+        p.instance_size = p.small_sz if small else p.big_sz
+        p.renew()
+        p.sf_size = p.score_size
+        key = (im.shape[0], im.shape[1], p.instance_size)
+        if key not in engines:
+            engines[key] = ScanEngine(
+                model, variables, p, im_h=im.shape[0], im_w=im.shape[1],
+                max_frames=max(1024, n + 8), chunk=args.chunk)
+        return engines[key]
+
+    regions = [None] * n
+    start_frame = 0
+    while start_frame < n:
+        cx, cy, w, h = get_axis_aligned_bbox(np.asarray(gt[start_frame]))
+        engine = get_engine(frames[start_frame], (w, h))
+        state = engine.init_state(frames[start_frame],
+                                  np.array([cx, cy]), np.array([w, h]),
+                                  _runner_of(engine, model, variables))
+        regions[start_frame] = 1 if is_vot else gt[start_frame]
+        if start_frame + 1 >= n:
+            break
+        _, pos, sz, score = engine.track_frames(
+            state, np.stack(frames[start_frame + 1:]))
+        failure_at = None
+        for i in range(len(pos)):
+            f = start_frame + 1 + i
+            location = np.array([pos[i][0] - sz[i][0] / 2,
+                                 pos[i][1] - sz[i][1] / 2,
+                                 sz[i][0], sz[i][1]], np.float64)
+            if is_vot:
+                if poly_iou(np.asarray(gt[f]), location) > 0:
+                    regions[f] = location
+                else:
+                    regions[f] = 2
+                    failure_at = f
+                    break
+            else:
+                regions[f] = location
+        if failure_at is None:
+            break
+        for f in range(failure_at + 1, min(failure_at + 5, n)):
+            regions[f] = 0
+        start_frame = failure_at + 5
+
+    with open(result_path, "w") as fin:
+        for x in regions:
+            if x is None:
+                fin.write("0\n")
+            elif isinstance(x, int):
+                fin.write("{:d}\n".format(x))
+            elif is_vot:
+                fin.write(",".join(str(i) for i in np.asarray(x).ravel())
+                          + "\n")
+            else:
+                bbox = list(np.asarray(x).ravel())
+                fin.write(",".join(
+                    str(i + 1) if idx in (0, 1) else str(i)
+                    for idx, i in enumerate(bbox)) + "\n")
+    toc = time.perf_counter() - t0
+    print("Video: {:12s} Time: {:2.1f}s Speed: {:3.1f}fps".format(
+        video["name"], toc, (n - 1) / max(toc, 1e-9)))
+
+
+_RUNNER_CACHE = {}
+
+
+def _runner_of(engine, model, variables):
+    from usot_tpu.tracker.runner import ModelRunner
+
+    key = id(variables)
+    if key not in _RUNNER_CACHE:
+        _RUNNER_CACHE[key] = ModelRunner(model, variables)
+    return _RUNNER_CACHE[key]
+
+
 def main(argv=None):
     import jax
 
@@ -139,9 +257,14 @@ def main(argv=None):
 
     dataset = load_dataset(args.dataset, args.dataset_root)
     tracker = USOTTracker()
+    engines: dict = {}
 
     for name in list(dataset.keys()):
-        track_video(tracker, runner, dataset[name], args)
+        if args.engine == "scan":
+            track_video_scan(model, variables, runner, dataset[name], args,
+                             engines)
+        else:
+            track_video(tracker, runner, dataset[name], args)
 
 
 if __name__ == "__main__":

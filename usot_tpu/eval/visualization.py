@@ -1,0 +1,94 @@
+"""Benchmark result plots (ref: lib/eval_toolkit/pysot/visualization/):
+success/precision curves, EAO rank plot, F1 curves. matplotlib, headless."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def draw_success_precision(success_ret, name, videos, attr,
+                           precision_ret=None, norm_precision_ret=None,
+                           bold_name=None, axis=(0, 1), out_path=None):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.grid(visible=True)
+    ax.set_aspect(1)
+    plt.xlabel("Overlap threshold")
+    plt.ylabel("Success rate")
+    plt.title(f"Success plots of OPE on {name} - {attr}")
+    plt.axis([0, 1] + list(axis))
+    thresholds = np.arange(0, 1.05, 0.05)
+    for tracker_name in sorted(
+            success_ret.keys(),
+            key=lambda t: -np.mean(list(success_ret[t].values()))):
+        value = [v for k, v in success_ret[tracker_name].items()
+                 if k in videos]
+        auc = np.mean(value)
+        label = f"[{auc:.3f}] {tracker_name}"
+        plt.plot(thresholds, np.mean(value, axis=0), label=label,
+                 linewidth=2)
+    ax.legend(loc="lower left", labelspacing=0.2)
+    if out_path:
+        plt.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+
+    if precision_ret:
+        fig, ax = plt.subplots()
+        ax.grid(visible=True)
+        plt.xlabel("Location error threshold")
+        plt.ylabel("Precision")
+        plt.title(f"Precision plots of OPE on {name} - {attr}")
+        thresholds = np.arange(0, 51, 1)
+        for tracker_name in sorted(
+                precision_ret.keys(),
+                key=lambda t: -np.mean(
+                    list(precision_ret[t].values()), axis=0)[20]):
+            value = [v for k, v in precision_ret[tracker_name].items()
+                     if k in videos]
+            pre = np.mean(value, axis=0)[20]
+            plt.plot(thresholds, np.mean(value, axis=0),
+                     label=f"[{pre:.3f}] {tracker_name}", linewidth=2)
+        ax.legend(loc="lower right", labelspacing=0.2)
+        if out_path:
+            plt.savefig(out_path.replace(".png", "_precision.png"),
+                        bbox_inches="tight", dpi=150)
+        plt.close(fig)
+
+
+def draw_eao(result, out_path=None):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    names = sorted(result.keys(), key=lambda n: -result[n]["all"])
+    values = [result[n]["all"] for n in names]
+    plt.barh(range(len(names))[::-1], values)
+    plt.yticks(range(len(names))[::-1], names)
+    plt.xlabel("EAO")
+    if out_path:
+        plt.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+
+
+def draw_f1(result, out_path=None):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    for name, ret in result.items():
+        precision = np.mean(list(ret["precision"].values()), axis=0)
+        recall = np.mean(list(ret["recall"].values()), axis=0)
+        f1 = 2 * precision * recall / (precision + recall + 1e-16)
+        best = np.argmax(f1)
+        plt.plot(recall, precision,
+                 label=f"[F1: {f1[best]:.3f}] {name}", linewidth=2)
+    plt.xlabel("Recall")
+    plt.ylabel("Precision")
+    ax.legend(loc="lower left")
+    if out_path:
+        plt.savefig(out_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)

@@ -6,6 +6,9 @@ Trained/converted checkpoints carry real stats, but tests, benchmarks and
 scratch training warm-up benefit from bootstrapping the stats with a few
 train-mode passes on synthetic inputs. Fully convolutional model => tiny
 spatial inputs calibrate the same per-channel statistics cheaply.
+
+Runs pinned to the CPU backend: the compute is trivial and remote-compile
+latency on tunneled TPUs dwarfs it.
 """
 from __future__ import annotations
 
@@ -17,8 +20,12 @@ import jax.numpy as jnp
 from usot_tpu.models.usot import USOTNet
 
 
+def _features_pass(module: USOTNet, x, stem_bn, stage_bn):
+    return module.features(x, stem_bn_train=stem_bn, stage_bn_train=stage_bn)
+
+
 def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
-                          n_iter: int = 20, template: int = 63,
+                          n_iter: int = 30, template: int = 63,
                           search: int = 95, amplitude: float = 255.0):
     """Returns variables with batch_stats re-estimated on synthetic
     image-scale inputs (train-mode passes; momentum 0.9 per pass)."""
@@ -34,49 +41,49 @@ def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
     calib_model = USOTNet(mem_size=1, search_size=search, score_size=score,
                           sf_size=score, dtype=model.dtype)
 
-    t = jnp.asarray(rng.random((2, template, template, 3)).astype(np.float32)
-                    * amplitude)
-    s = jnp.asarray(rng.random((2, search, search, 3)).astype(np.float32)
-                    * amplitude)
-    lab = jnp.zeros((2, score, score), jnp.float32).at[:, score // 2,
-                                                       score // 2].set(1.0)
-    reg = jnp.ones((2, score, score, 4), jnp.float32)
-    regw = jnp.ones((2, score, score), jnp.float32)
-    tb = jnp.asarray([[2.0, 2.0, 10.0, 10.0]] * 2)
-    sm = jnp.asarray(rng.random((2, 1, search, search, 3)).astype(np.float32)
-                     * amplitude)
-    sb = jnp.asarray([[3.0, 3.0, 8.0, 8.0]] * 2)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        t = jnp.asarray(rng.random((2, template, template, 3))
+                        .astype(np.float32) * amplitude)
+        s = jnp.asarray(rng.random((2, search, search, 3))
+                        .astype(np.float32) * amplitude)
+        lab = jnp.zeros((2, score, score), jnp.float32).at[
+            :, score // 2, score // 2].set(1.0)
+        reg = jnp.ones((2, score, score, 4), jnp.float32)
+        regw = jnp.ones((2, score, score), jnp.float32)
+        tb = jnp.asarray([[2.0, 2.0, 10.0, 10.0]] * 2)
+        sm = jnp.asarray(rng.random((2, 1, search, search, 3))
+                         .astype(np.float32) * amplitude)
+        sb = jnp.asarray([[3.0, 3.0, 8.0, 8.0]] * 2)
 
-    @jax.jit
-    def one_pass(vars_):
-        _, mutated = calib_model.apply(
-            vars_, t, s, lab, reg, regw, tb, search_memory=sm,
-            search_bbox=sb, stage_bn_train=True,
-            method=USOTNet.forward_train, mutable=["batch_stats"])
-        # stem stats too: run stem in train mode via a direct features call
-        return mutated["batch_stats"]
+        @jax.jit
+        def one_pass(vars_):
+            _, mutated = calib_model.apply(
+                vars_, t, s, lab, reg, regw, tb, search_memory=sm,
+                search_bbox=sb, stage_bn_train=True,
+                method=USOTNet.forward_train, mutable=["batch_stats"])
+            return mutated["batch_stats"]
 
-    @jax.jit
-    def stem_pass(vars_):
-        _, mutated = calib_model.apply(
-            vars_, s, True, True, method=lambda m, x, a, b: m.features(
-                x, stem_bn_train=a, stage_bn_train=b),
-            mutable=["batch_stats"])
-        return mutated["batch_stats"]
+        @jax.jit
+        def stem_pass(vars_):
+            _, mutated = calib_model.apply(
+                vars_, s, True, True, method=_features_pass,
+                mutable=["batch_stats"])
+            return mutated["batch_stats"]
 
-    stats = variables["batch_stats"]
-    for _ in range(n_iter):
-        new_stem = stem_pass({"params": variables["params"],
-                              "batch_stats": stats})
-        merged = dict(stats)
-        merged["features"] = new_stem["features"]
-        stats = one_pass({"params": variables["params"],
-                          "batch_stats": merged})
-        # keep the stem stats from the dedicated pass (forward_train keeps
-        # stem in eval mode)
-        s2 = dict(stats)
-        f = dict(s2["features"])
-        f["stem"] = new_stem["features"]["stem"]
-        s2["features"] = f
-        stats = s2
+        params = jax.device_put(variables["params"], cpu)
+        stats = jax.device_put(variables["batch_stats"], cpu)
+        for _ in range(n_iter):
+            new_stem = stem_pass({"params": params, "batch_stats": stats})
+            merged = dict(stats)
+            merged["features"] = new_stem["features"]
+            stats = one_pass({"params": params, "batch_stats": merged})
+            # forward_train keeps the stem in eval mode; keep the stem stats
+            # from the dedicated backbone pass
+            s2 = dict(stats)
+            f = dict(s2["features"])
+            f["stem"] = new_stem["features"]["stem"]
+            s2["features"] = f
+            stats = s2
+
     return {"params": variables["params"], "batch_stats": stats}
