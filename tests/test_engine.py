@@ -77,3 +77,65 @@ class TestScanEngine:
         err = np.linalg.norm(pos - ref_pos, axis=1)
         assert np.all(np.isfinite(err))
         assert err[0] < 130.0, (pos[0], ref_pos[0])  # within a search region
+
+
+class TestBatchScanEngine:
+    def test_batched_matches_single(self, setup):
+        """Two identical videos tracked in batch must match the single-video
+        scan engine exactly (same math, vmapped)."""
+        import jax.numpy as jnp
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=7)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+
+        single = ScanEngine(model, variables, p, im_h=frames[0].shape[0],
+                            im_w=frames[0].shape[1], max_frames=32, chunk=3)
+        st = single.init_state(frames[0], np.array(centers[0], float),
+                               np.array([48.0, 48.0]), runner)
+        _, pos_s, sz_s, score_s = single.track_frames(st, np.stack(frames[1:]))
+
+        batch = BatchScanEngine(model, variables, p,
+                                canvas_h=frames[0].shape[0],
+                                canvas_w=frames[0].shape[1], batch=2,
+                                max_frames=32, chunk=3)
+        videos = [(frames[0], np.array(centers[0], float),
+                   np.array([48.0, 48.0]))] * 2
+        bstate = batch.init_batch(videos, runner)
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        _, pos_b, sz_b, score_b = batch.track_batch(
+            bstate, fb, n_valid=np.array([6, 6]))
+
+        np.testing.assert_allclose(pos_b[0], pos_s, atol=1e-3)
+        np.testing.assert_allclose(pos_b[1], pos_s, atol=1e-3)
+        np.testing.assert_allclose(sz_b[0], sz_s, atol=1e-3)
+
+    def test_ragged_lengths(self, setup):
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=7)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        batch = BatchScanEngine(model, variables, p,
+                                canvas_h=frames[0].shape[0],
+                                canvas_w=frames[0].shape[1], batch=2,
+                                max_frames=32, chunk=4)
+        videos = [(frames[0], np.array(centers[0], float),
+                   np.array([48.0, 48.0]))] * 2
+        bstate = batch.init_batch(videos, runner)
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        st, pos, sz, score = batch.track_batch(
+            bstate, fb, n_valid=np.array([6, 3]))
+        assert np.all(np.isfinite(pos[0]))
+        # video 1's carry freezes after its 3 valid frames: the final state
+        # position equals the output at its last valid frame (outputs past
+        # n_valid are padding and not used by callers)
+        np.testing.assert_allclose(np.asarray(st.pos[1]), pos[1][2],
+                                   atol=1e-5)

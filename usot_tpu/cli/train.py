@@ -45,8 +45,14 @@ def main(argv=None):
         cfg.WORKERS = args.workers
     tc = cfg.USOT.TRAIN
 
-    logger, _ = create_logger(cfg.OUTPUT_DIR, "USOT", "train")
+    logger, log_dir = create_logger(cfg.OUTPUT_DIR, "USOT", "train")
     logger.info("config: %s", cfg)
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(log_dir=os.path.join(log_dir, "tb"))
+    except Exception:
+        writer = None
 
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev)
@@ -120,6 +126,8 @@ def main(argv=None):
             batch_time.update(time.time() - end)
             end = time.time()
             global_step += 1
+            if writer is not None:
+                writer.add_scalar("train_loss", loss, global_step)
             if (it + 1) % cfg.PRINT_FREQ == 0:
                 logger.info(
                     "Epoch: [%d][%d/%d] lr: %.6f Batch Time: %.3fs "
@@ -137,6 +145,9 @@ def main(argv=None):
         path = save_model_epoch(cfg.CHECKPOINT_DIR, host_state, epoch)
         if path:
             logger.info("saved %s", path)
+
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == "__main__":

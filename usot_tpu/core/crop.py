@@ -106,7 +106,8 @@ def get_subwindow(im, pos, model_sz, original_sz, avg_chans, target_sz=None,
 # In-graph crop: dynamic window, static output, bilinear, mean-padding.
 # ---------------------------------------------------------------------------
 
-def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int):
+def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int,
+                  valid_h=None, valid_w=None):
     """Bilinear gather-resize crop of `im` (H, W, C float32).
 
     pos_{x,y} and original_sz are traced scalars (float32); model_sz is a
@@ -115,8 +116,14 @@ def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int):
     context_min = round(pos - (original_sz + 1)/2), resized with the
     cv2 INTER_LINEAR pixel-center convention
     (src = (dst + 0.5) * scale - 0.5). Out-of-image taps read avg_chans.
+
+    valid_h/valid_w (traced, optional) restrict the valid image region to a
+    sub-rectangle of the canvas (batched multi-resolution tracking pads
+    frames to a common canvas).
     """
     H, W = im.shape[0], im.shape[1]
+    vh = H if valid_h is None else valid_h
+    vw = W if valid_w is None else valid_w
     sz = jnp.round(original_sz)
     cxt_xmin = jnp.round(pos_x - (original_sz + 1.0) / 2.0)
     cxt_ymin = jnp.round(pos_y - (original_sz + 1.0) / 2.0)
@@ -126,18 +133,18 @@ def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int):
     src_x = cxt_xmin + d  # (model_sz,)
     src_y = cxt_ymin + d
 
-    def sample_axis(coord, size):
+    def sample_axis(coord, size, valid_size):
         c0 = jnp.floor(coord)
         frac = coord - c0
         i0 = c0.astype(jnp.int32)
         i1 = i0 + 1
-        valid0 = (i0 >= 0) & (i0 < size)
-        valid1 = (i1 >= 0) & (i1 < size)
+        valid0 = (i0 >= 0) & (i0 < valid_size)
+        valid1 = (i1 >= 0) & (i1 < valid_size)
         return (jnp.clip(i0, 0, size - 1), jnp.clip(i1, 0, size - 1),
                 frac, valid0, valid1)
 
-    x0, x1, fx, vx0, vx1 = sample_axis(src_x, W)
-    y0, y1, fy, vy0, vy1 = sample_axis(src_y, H)
+    x0, x1, fx, vx0, vx1 = sample_axis(src_x, W, vw)
+    y0, y1, fy, vy0, vy1 = sample_axis(src_y, H, vh)
 
     avg = jnp.asarray(avg_chans, dtype=im.dtype).reshape(1, 1, -1)
 

@@ -101,7 +101,11 @@ class ScanEngine:
 
     # ---- one frame ----
 
-    def _frame_step(self, variables, avg, carry: EngineState, frame_u8):
+    def _frame_step(self, variables, avg, im_hw, carry: EngineState,
+                    frame_u8):
+        """One tracked frame. avg: (3,); im_hw: (2,) [h, w] valid region
+        of the (possibly padded) frame canvas — traced so batched engines
+        can mix video resolutions on one canvas."""
         p = self.p
         c = self._consts
         model = self.model
@@ -116,7 +120,8 @@ class ScanEngine:
 
         frame = frame_u8.astype(jnp.float32)
         x_crop = subwindow_jax(frame, pos[0], pos[1], s_x, avg,
-                               p.instance_size)
+                               p.instance_size,
+                               valid_h=im_hw[0], valid_w=im_hw[1])
 
         xf = model.apply(variables, x_crop[None],
                          method=USOTNet.search_features)
@@ -194,23 +199,23 @@ class ScanEngine:
             carry.mem_conf, best_score[None], (write_idx,))
         mem_len = jnp.minimum(carry.mem_len + 1, self.max_frames - 1)
 
-        new_pos = jnp.stack([
-            jnp.clip(new_pos[0], 0.0, float(self.im_w)),
-            jnp.clip(new_pos[1], 0.0, float(self.im_h))])
-        new_sz = jnp.stack([
-            jnp.clip(new_sz[0], 10.0, float(self.im_w)),
-            jnp.clip(new_sz[1], 10.0, float(self.im_h))])
+        im_h = im_hw[0].astype(jnp.float32)
+        im_w = im_hw[1].astype(jnp.float32)
+        new_pos = jnp.stack([jnp.clip(new_pos[0], 0.0, im_w),
+                             jnp.clip(new_pos[1], 0.0, im_h)])
+        new_sz = jnp.stack([jnp.clip(new_sz[0], 10.0, im_w),
+                            jnp.clip(new_sz[1], 10.0, im_h)])
 
         new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
                                 mem_feat, mem_conf, mem_len)
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
-        def chunk_fn(variables, carry, frames_u8, valid, avg):
+        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
             def body(carry, xs):
                 frame, is_valid = xs
-                new_carry, out = self._frame_step(variables, avg, carry,
-                                                  frame)
+                new_carry, out = self._frame_step(variables, avg, im_hw,
+                                                  carry, frame)
                 keep = lambda n, o: jnp.where(is_valid, n, o)
                 sel_carry = jax.tree.map(keep, new_carry, carry)
                 return sel_carry, out
@@ -296,9 +301,89 @@ class ScanEngine:
             valid = jnp.asarray(
                 np.arange(self.chunk) < nb)
             state, (pos, sz, score) = self._chunk_fn(
-                self.variables, state, jnp.asarray(block), valid, avg)
+                self.variables, state, jnp.asarray(block), valid, avg,
+                jnp.asarray([self.im_h, self.im_w], jnp.float32))
             all_pos.append(np.asarray(pos[:nb]))
             all_sz.append(np.asarray(sz[:nb]))
             all_score.append(np.asarray(score[:nb]))
         return state, np.concatenate(all_pos), np.concatenate(all_sz), \
             np.concatenate(all_score)
+
+
+class BatchScanEngine(ScanEngine):
+    """Tracks B videos in lockstep: the per-frame step is vmapped over the
+    video dimension inside the scan, so a whole benchmark shard saturates
+    the MXU (BASELINE config 4: batched multi-sequence eval).
+
+    All videos share one TrackerConfig (instance size) and are padded onto
+    a common (canvas_h, canvas_w) uint8 canvas; per-video true (h, w) ride
+    in the batch state for crop validity and clamping.
+    """
+
+    def __init__(self, model: USOTNet, variables, p: TrackerConfig,
+                 canvas_h: int, canvas_w: int, batch: int,
+                 max_frames: int = 2048, chunk: int = 32):
+        self.batch = batch
+        super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
+                         max_frames=max_frames, chunk=chunk)
+
+    def _make_chunk_fn(self):
+        step = jax.vmap(self._frame_step, in_axes=(None, 0, 0, 0, 0))
+
+        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
+            # frames_u8: (T, B, H, W, 3); valid: (T, B)
+            def body(carry, xs):
+                frame, is_valid = xs
+                new_carry, out = step(variables, avg, im_hw, carry, frame)
+                keep = lambda n, o: jnp.where(
+                    is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+                sel = jax.tree.map(keep, new_carry, carry)
+                return sel, out
+
+            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid))
+            return carry, outs
+
+        return chunk_fn
+
+    def init_batch(self, videos, runner):
+        """videos: list of (first_frame, target_pos, target_sz). Returns
+        (batched EngineState, avg (B,3), im_hw (B,2))."""
+        states, avgs, hws = [], [], []
+        for im, pos, sz in videos:
+            st = self.init_state(im, pos, sz, runner)
+            states.append(st)
+            avgs.append(self.avg_chans)
+            hws.append([im.shape[0], im.shape[1]])
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        self._avg_b = jnp.asarray(np.stack(avgs), jnp.float32)
+        self._im_hw_b = jnp.asarray(np.asarray(hws), jnp.float32)
+        return batched
+
+    def track_batch(self, state, frames_u8: np.ndarray,
+                    n_valid: np.ndarray):
+        """frames_u8: (B, N, H, W, 3) padded canvas frames; n_valid: (B,)
+        true frame counts. Returns (state, pos (B,N,2), sz (B,N,2),
+        score (B,N))."""
+        b, n = frames_u8.shape[:2]
+        assert b == self.batch
+        all_pos, all_sz, all_score = [], [], []
+        for i in range(0, n, self.chunk):
+            block = frames_u8[:, i:i + self.chunk]
+            nb = block.shape[1]
+            if nb < self.chunk:
+                pad = np.repeat(block[:, -1:], self.chunk - nb, axis=1)
+                block = np.concatenate([block, pad], axis=1)
+            # (T, B) validity
+            t_idx = np.arange(self.chunk)[:, None] + i
+            valid = jnp.asarray(t_idx < n_valid[None, :])
+            block_tb = jnp.asarray(np.swapaxes(block, 0, 1))  # (T,B,H,W,3)
+            state, (pos, sz, score) = self._chunk_fn(
+                self.variables, state, block_tb, valid, self._avg_b,
+                self._im_hw_b)
+            all_pos.append(np.asarray(pos[:nb]))
+            all_sz.append(np.asarray(sz[:nb]))
+            all_score.append(np.asarray(score[:nb]))
+        pos = np.concatenate(all_pos).transpose(1, 0, 2)
+        sz = np.concatenate(all_sz).transpose(1, 0, 2)
+        score = np.concatenate(all_score).transpose(1, 0)
+        return state, pos, sz, score
