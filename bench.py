@@ -9,9 +9,14 @@ arXiv 2108.12711); the repo publishes no FPS table
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 BASELINE_FPS = 58.0
 
@@ -42,15 +47,29 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     frames = synthetic_video(n_frames)
 
+    log("bench: building model")
     model = build_usot(mem_size=4)
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt and os.path.exists(ckpt):
         from usot_tpu.train.checkpoint import load_variables
         variables = load_variables(ckpt)
     else:
-        from usot_tpu.models.calibrate import calibrate_batch_stats
-        variables = init_variables(model, jax.random.PRNGKey(0))
-        variables = calibrate_batch_stats(model, variables, n_iter=8)
+        cache = "var/bench_variables.msgpack"
+        if os.path.exists(cache):
+            from flax import serialization
+            variables = init_variables(model, jax.random.PRNGKey(0))
+            with open(cache, "rb") as f:
+                variables = serialization.from_bytes(variables, f.read())
+            log("bench: loaded cached calibrated variables")
+        else:
+            from usot_tpu.models.calibrate import calibrate_batch_stats
+            variables = init_variables(model, jax.random.PRNGKey(0))
+            variables = calibrate_batch_stats(model, variables, n_iter=8)
+            os.makedirs("var", exist_ok=True)
+            from flax import serialization
+            with open(cache, "wb") as f:
+                f.write(serialization.to_bytes(variables))
+    log("bench: variables ready")
     runner = ModelRunner(model, variables)
 
     p = TrackerConfig()
@@ -61,12 +80,16 @@ def main():
     engine = ScanEngine(model, variables, p, im_h=frames[0].shape[0],
                         im_w=frames[0].shape[1],
                         max_frames=max(1024, n_frames + 8), chunk=chunk)
+    t_init = time.perf_counter()
     state = engine.init_state(frames[0], np.array([200.0, 240.0]),
                               np.array([60.0, 60.0]), runner)
+    log(f"bench: video init done in {time.perf_counter() - t_init:.1f}s")
 
     all_frames = np.stack(frames[1:])
     # Warmup chunk (compile)
+    t_c = time.perf_counter()
     state, _, _, _ = engine.track_frames(state, all_frames[:chunk])
+    log(f"bench: scan compile+first chunk in {time.perf_counter() - t_c:.1f}s")
 
     t0 = time.perf_counter()
     state, pos, sz, score = engine.track_frames(state, all_frames[chunk:])

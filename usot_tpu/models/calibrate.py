@@ -86,4 +86,5 @@ def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
             s2["features"] = f
             stats = s2
 
-    return {"params": variables["params"], "batch_stats": stats}
+    return {"params": variables["params"],
+            "batch_stats": jax.tree.map(np.asarray, stats)}

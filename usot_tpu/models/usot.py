@@ -193,15 +193,26 @@ def build_usot(mem_size: int = 4, dtype=jnp.float32, **kwargs) -> USOTNet:
 
 
 def init_variables(model: USOTNet, rng, batch: int = 1):
-    """Initialize variables with tiny dummy batch (shapes per USOT spec)."""
-    t = jnp.zeros((batch, 127, 127, 3), model.dtype)
-    s = jnp.zeros((batch, 255, 255, 3), model.dtype)
-    lab = jnp.zeros((batch, 25, 25), model.dtype)
-    reg = jnp.zeros((batch, 25, 25, 4), model.dtype)
-    regw = jnp.zeros((batch, 25, 25), model.dtype)
-    tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * batch, model.dtype)
-    sm = jnp.zeros((batch, 1, 255, 255, 3), model.dtype)
-    sb = jnp.asarray([[6.0, 6.0, 18.0, 18.0]] * batch, model.dtype)
-    return model.init(
-        rng, t, s, lab, reg, regw, tb, search_memory=sm, search_bbox=sb,
-        method=USOTNet.forward_train)
+    """Initialize variables with a tiny dummy batch.
+
+    Pinned to the CPU backend: init is trivial compute, and compiling the
+    full training graph on a (possibly remote) accelerator just to draw
+    initial weights wastes minutes. Params transfer to the accelerator on
+    first real use.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        t = jnp.zeros((batch, 127, 127, 3), model.dtype)
+        s = jnp.zeros((batch, 255, 255, 3), model.dtype)
+        lab = jnp.zeros((batch, 25, 25), model.dtype)
+        reg = jnp.zeros((batch, 25, 25, 4), model.dtype)
+        regw = jnp.zeros((batch, 25, 25), model.dtype)
+        tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * batch, model.dtype)
+        sm = jnp.zeros((batch, 1, 255, 255, 3), model.dtype)
+        sb = jnp.asarray([[6.0, 6.0, 18.0, 18.0]] * batch, model.dtype)
+        variables = model.init(
+            rng, t, s, lab, reg, regw, tb, search_memory=sm, search_bbox=sb,
+            method=USOTNet.forward_train)
+    # Return uncommitted host arrays so downstream jits place them on
+    # whatever backend they run on.
+    return jax.tree.map(np.asarray, variables)

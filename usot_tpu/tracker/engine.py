@@ -123,13 +123,18 @@ class ScanEngine:
                                p.instance_size,
                                valid_h=im_hw[0], valid_w=im_hw[1])
 
-        xf = model.apply(variables, x_crop[None],
+        xf = model.apply(variables, x_crop[None].astype(model.dtype),
                          method=USOTNet.search_features)
         queue = _assemble_queue_traced(carry.init_feats, carry.mem_feat,
                                        carry.mem_conf, carry.mem_len,
                                        p.mem_queue_size)
-        cls, bbox, cls_mem = model.apply(variables, xf, carry.zf, queue,
-                                         method=USOTNet.track_memory)
+        cls, bbox, cls_mem = model.apply(
+            variables, xf, carry.zf.astype(model.dtype),
+            queue.astype(model.dtype), method=USOTNet.track_memory)
+        # Postprocess in f32 regardless of the model compute dtype
+        cls = cls.astype(jnp.float32)
+        bbox = bbox.astype(jnp.float32)
+        cls_mem = cls_mem.astype(jnp.float32)
         cls_score = jax.nn.sigmoid(cls[0, :, :, 0])
         cls_memory = jax.nn.sigmoid(cls_mem[0, :, :, 0])
         cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
@@ -191,6 +196,7 @@ class ScanEngine:
         pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
         feat = model.apply(variables, xf, pool_bbox[None],
                            method=USOTNet.pool_memory_feature)  # (1,7,7,C)
+        feat = feat.astype(carry.mem_feat.dtype)
 
         write_idx = jnp.minimum(carry.mem_len, self.max_frames - 1)
         mem_feat = jax.lax.dynamic_update_slice(
