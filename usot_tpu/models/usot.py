@@ -99,6 +99,19 @@ class USOTNet(nn.Module):
         cls_mem = self.connect.memory_cls(cls_x, template_mem, mem_size=n_q)
         return cls, bbox, cls_mem
 
+    def track_memory_batched(self, xf, zf, template_mem):
+        """Batched variant of track_memory: B videos at once.
+
+        xf: (B, s, s, 256); zf: (B, 7, 7, 256);
+        template_mem: (B, N_q, 7, 7, 256).
+        Returns (cls (B,S,S,1), bbox (B,S,S,4), cls_mem (B,S,S,1)).
+        """
+        bbox, cls, cls_x, _ = self.connect.offline(xf, zf)
+        b, n_q = template_mem.shape[0], template_mem.shape[1]
+        mem_flat = template_mem.reshape((b * n_q,) + template_mem.shape[2:])
+        cls_mem = self.connect.memory_cls(cls_x, mem_flat, mem_size=n_q)
+        return cls, bbox, cls_mem
+
     def pool_memory_feature(self, xf, search_bbox):
         """PrPool (B,7,7,256) memory features from search features by a
         feature-axis bbox (ref: models.py:200-206)."""

@@ -333,14 +333,132 @@ class BatchScanEngine(ScanEngine):
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
                          max_frames=max_frames, chunk=chunk)
 
-    def _make_chunk_fn(self):
-        step = jax.vmap(self._frame_step, in_axes=(None, 0, 0, 0, 0))
+    def _frame_step_batched(self, variables, avg_b, im_hw_b, carry, frames):
+        """Natively-batched frame step: the network sees real (B, ...)
+        batches (full MXU tiles) — only the light gather/scalar pieces
+        (crop, queue sampling) are vmapped. A vmap-of-batch-1 formulation
+        lowers the grouped-conv correlation poorly; this one does not."""
+        p = self.p
+        c = self._consts
+        model = self.model
+        B = frames.shape[0]
 
+        pos, sz = carry.pos, carry.sz                    # (B, 2)
+        wc_z = sz[:, 0] + p.context_amount * (sz[:, 0] + sz[:, 1])
+        hc_z = sz[:, 1] + p.context_amount * (sz[:, 0] + sz[:, 1])
+        s_z = jnp.sqrt(wc_z * hc_z)
+        scale_z = p.exemplar_size / s_z                  # (B,)
+        d_search = (p.instance_size - p.exemplar_size) / 2
+        s_x = jnp.round(s_z + 2 * d_search / scale_z)
+
+        crop = jax.vmap(
+            lambda im, px, py, ssx, av, hw: subwindow_jax(
+                im, px, py, ssx, av, p.instance_size,
+                valid_h=hw[0], valid_w=hw[1]))
+        x_crop = crop(frames.astype(jnp.float32), pos[:, 0], pos[:, 1],
+                      s_x, avg_b, im_hw_b)               # (B, S, S, 3)
+
+        xf = model.apply(variables, x_crop.astype(model.dtype),
+                         method=USOTNet.search_features)
+        queue = jax.vmap(_assemble_queue_traced,
+                         in_axes=(0, 0, 0, 0, None))(
+            carry.init_feats, carry.mem_feat, carry.mem_conf,
+            carry.mem_len, p.mem_queue_size)             # (B, Nq, 7, 7, C)
+        cls, bbox, cls_mem = model.apply(
+            variables, xf, carry.zf[:, 0].astype(model.dtype),
+            queue.astype(model.dtype), method=USOTNet.track_memory_batched)
+        cls = cls.astype(jnp.float32)
+        bbox = bbox.astype(jnp.float32)
+        cls_mem = cls_mem.astype(jnp.float32)
+
+        cls_score = jax.nn.sigmoid(cls[..., 0])          # (B, S, S)
+        cls_memory = jax.nn.sigmoid(cls_mem[..., 0])
+        cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
+
+        gx = c["gx"][None]
+        gy = c["gy"][None]
+        pred_x1 = gx - bbox[..., 0]
+        pred_y1 = gy - bbox[..., 1]
+        pred_x2 = gx + bbox[..., 2]
+        pred_y2 = gy + bbox[..., 3]
+
+        w = (sz[:, 0] * scale_z)[:, None, None]
+        h = (sz[:, 1] * scale_z)[:, None, None]
+
+        def _sz_f(a, b):
+            pad = (a + b) * 0.5
+            return jnp.sqrt((a + pad) * (b + pad))
+
+        def _change(r):
+            return jnp.maximum(r, 1.0 / r)
+
+        s_c = _change(_sz_f(pred_x2 - pred_x1, pred_y2 - pred_y1)
+                      / _sz_f(w, h))
+        r_c = _change((w / h) / ((pred_x2 - pred_x1) / (pred_y2 - pred_y1)))
+        penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
+        pscore = penalty * cls_score
+        pscore = pscore * (1 - p.window_influence) \
+            + c["window"][None] * p.window_influence
+        pscore = jnp.where(jnp.isnan(pscore), -jnp.inf, pscore)
+
+        S = pscore.shape[1]
+        flat = jnp.argmax(pscore.reshape(B, -1), axis=1)  # (B,)
+
+        def pick(m):
+            return jnp.take_along_axis(m.reshape(B, -1), flat[:, None],
+                                       axis=1)[:, 0]
+
+        bx1 = pick(pred_x1)
+        by1 = pick(pred_y1)
+        bx2 = pick(pred_x2)
+        by2 = pick(pred_y2)
+        pen_best = pick(penalty)
+        best_score = pick(cls_score)
+
+        diff_xs = ((bx1 + bx2) / 2 - p.instance_size // 2) / scale_z
+        diff_ys = ((by1 + by2) / 2 - p.instance_size // 2) / scale_z
+        pred_w = (bx2 - bx1) / scale_z
+        pred_h = (by2 - by1) / scale_z
+
+        lr = pen_best * best_score * p.lr
+        res_w = pred_w * lr + (1 - lr) * sz[:, 0]
+        res_h = pred_h * lr + (1 - lr) * sz[:, 1]
+        new_pos = jnp.stack([pos[:, 0] + diff_xs, pos[:, 1] + diff_ys], -1)
+        new_sz = jnp.stack([sz[:, 0] * (1 - lr) + lr * res_w,
+                            sz[:, 1] * (1 - lr) + lr * res_h], -1)
+
+        gap = 1.0 / c["sf_slope"]
+        crop_bbox = jnp.stack([bx1, by1, bx2, by2], -1)  # (B, 4)
+        crop_bbox = jnp.clip(crop_bbox, c["sf_min"] - gap, c["sf_max"] + gap)
+        pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
+        feat = model.apply(variables, xf, pool_bbox,
+                           method=USOTNet.pool_memory_feature)  # (B,7,7,C)
+        feat = feat.astype(carry.mem_feat.dtype)
+
+        write_idx = jnp.minimum(carry.mem_len, self.max_frames - 1)  # (B,)
+        bidx = jnp.arange(B)
+        mem_feat = carry.mem_feat.at[bidx, write_idx].set(feat)
+        mem_conf = carry.mem_conf.at[bidx, write_idx].set(best_score)
+        mem_len = jnp.minimum(carry.mem_len + 1, self.max_frames - 1)
+
+        im_h = im_hw_b[:, 0]
+        im_w = im_hw_b[:, 1]
+        new_pos = jnp.stack([jnp.clip(new_pos[:, 0], 0.0, im_w),
+                             jnp.clip(new_pos[:, 1], 0.0, im_h)], -1)
+        new_sz = jnp.stack([jnp.clip(new_sz[:, 0], 10.0, im_w),
+                            jnp.clip(new_sz[:, 1], 10.0, im_h)], -1)
+
+        new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
+                                mem_feat, mem_conf, mem_len)
+        return new_carry, (new_pos, new_sz, best_score)
+
+    def _make_chunk_fn(self):
         def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
             # frames_u8: (T, B, H, W, 3); valid: (T, B)
             def body(carry, xs):
                 frame, is_valid = xs
-                new_carry, out = step(variables, avg, im_hw, carry, frame)
+                new_carry, out = self._frame_step_batched(
+                    variables, avg, im_hw, carry, frame)
                 keep = lambda n, o: jnp.where(
                     is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
                 sel = jax.tree.map(keep, new_carry, carry)
