@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import pytest
 
 from usot_tpu.ops.prroi import prroi_pool, prroi_pool_same_batch
-from usot_tpu.ops.xcorr import xcorr_depthwise, xcorr_depthwise_ref
+from usot_tpu.ops.xcorr import (xcorr_depthwise, xcorr_depthwise_conv,
+                                xcorr_depthwise_ref)
 
 
 def bilinear_interp_np(F, y, x):
@@ -151,3 +152,6 @@ class TestXcorr:
         ref = xcorr_depthwise_ref(x, k)
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+        conv = xcorr_depthwise_conv(x, k)
+        np.testing.assert_allclose(np.asarray(conv), np.asarray(ref),
+                                   atol=1e-4)

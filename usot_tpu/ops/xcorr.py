@@ -6,9 +6,17 @@ C-channel kernel with its own search feature map, per channel:
 
     out[b, i, j, c] = sum_{u,v} x[b, i+u, j+v, c] * k[b, u, v, c]
 
-Implemented as `lax.conv_general_dilated` with batch folded into the feature
-dimension and `feature_group_count = B*C` — XLA lowers per-channel
-correlations onto the VPU/MXU with no host round trips. NHWC layout.
+Two formulations:
+
+* `xcorr_depthwise` (default) — shift-and-multiply: a static unrolled sum
+  of hk*wk shifted elementwise products. The encoded template kernels are
+  tiny (5x5 / 3x5 / 5x3), so this is <=25 fused VPU ops with NO grouped
+  convolution — it batches over videos linearly and sidesteps the
+  pathological lowering of feature_group_count = B*C grouped convs that we
+  measured on the current XLA TPU backend (compile cliffs at B>=32).
+
+* `xcorr_depthwise_conv` — the grouped-conv formulation (batch folded into
+  feature groups), kept for cross-checking.
 """
 from __future__ import annotations
 
@@ -21,9 +29,20 @@ def xcorr_depthwise(x, kernel):
     """x: (B, Hx, Wx, C); kernel: (B, Hk, Wk, C) -> (B, Ho, Wo, C), VALID."""
     b, hx, wx, c = x.shape
     _, hk, wk, _ = kernel.shape
-    # Fold batch into channels: (1, Hx, Wx, B*C)
+    ho, wo = hx - hk + 1, wx - wk + 1
+    acc = jnp.zeros((b, ho, wo, c), jnp.float32)
+    for u in range(hk):
+        for v in range(wk):
+            acc = acc + x[:, u:u + ho, v:v + wo, :].astype(jnp.float32) \
+                * kernel[:, u, v, :].astype(jnp.float32)[:, None, None, :]
+    return acc.astype(x.dtype)
+
+
+def xcorr_depthwise_conv(x, kernel):
+    """Grouped-conv formulation (feature_group_count = B*C)."""
+    b, hx, wx, c = x.shape
+    _, hk, wk, _ = kernel.shape
     x_f = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hx, wx, b * c)
-    # Kernel HWIO with I=1, O=B*C
     k_f = jnp.transpose(kernel, (1, 2, 0, 3)).reshape(hk, wk, 1, b * c)
     out = lax.conv_general_dilated(
         x_f, k_f,
@@ -38,14 +57,19 @@ def xcorr_depthwise(x, kernel):
     return jnp.transpose(out, (2, 0, 1, 3)).astype(x.dtype)
 
 
+# Naive reference for tests (independent formulation)
 def xcorr_depthwise_ref(x, kernel):
-    """Naive einsum-over-patches reference (for tests / tiny shapes)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    kernel = np.asarray(kernel, np.float64)
     b, hx, wx, c = x.shape
     _, hk, wk, _ = kernel.shape
     ho, wo = hx - hk + 1, wx - wk + 1
-    out = jnp.zeros((b, ho, wo, c), dtype=jnp.float32)
-    for u in range(hk):
-        for v in range(wk):
-            out = out + x[:, u:u + ho, v:v + wo, :].astype(jnp.float32) \
-                * kernel[:, u, v, :].astype(jnp.float32)[:, None, None, :]
-    return out.astype(x.dtype)
+    out = np.zeros((b, ho, wo, c))
+    for bi in range(b):
+        for i in range(ho):
+            for j in range(wo):
+                patch = x[bi, i:i + hk, j:j + wk, :]
+                out[bi, i, j, :] = np.sum(patch * kernel[bi], axis=(0, 1))
+    return out

@@ -328,8 +328,15 @@ class BatchScanEngine(ScanEngine):
 
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  canvas_h: int, canvas_w: int, batch: int,
-                 max_frames: int = 2048, chunk: int = 32):
+                 max_frames: int = 2048, chunk: int = 32,
+                 impl: str = "vmap"):
+        """impl: 'vmap' maps the single-video step over videos (grouped
+        convs stay at 256 feature groups — fast lowering on current
+        toolchains); 'native' feeds the net real (B, ...) batches (grouped
+        conv with B*256 groups — compiles/runs poorly on the current XLA
+        backend, kept for future toolchains)."""
         self.batch = batch
+        self.impl = impl
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
                          max_frames=max_frames, chunk=chunk)
 
@@ -453,12 +460,18 @@ class BatchScanEngine(ScanEngine):
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
+        if getattr(self, "impl", "vmap") == "native":
+            step = self._frame_step_batched
+        else:
+            vstep = jax.vmap(self._frame_step, in_axes=(None, 0, 0, 0, 0))
+            step = lambda v, avg, hw, carry, frame: vstep(
+                v, avg, hw, carry, frame)
+
         def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
             # frames_u8: (T, B, H, W, 3); valid: (T, B)
             def body(carry, xs):
                 frame, is_valid = xs
-                new_carry, out = self._frame_step_batched(
-                    variables, avg, im_hw, carry, frame)
+                new_carry, out = step(variables, avg, im_hw, carry, frame)
                 keep = lambda n, o: jnp.where(
                     is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
                 sel = jax.tree.map(keep, new_carry, carry)
