@@ -170,9 +170,10 @@ def track_video_scan(model, variables, runner, video, args, engines):
         p.sf_size = p.score_size
         key = (im.shape[0], im.shape[1], p.instance_size)
         if key not in engines:
+            # fixed carry capacity: one compile per (resolution, instance)
             engines[key] = ScanEngine(
                 model, variables, p, im_h=im.shape[0], im_w=im.shape[1],
-                max_frames=max(1024, n + 8), chunk=args.chunk)
+                max_frames=4096, chunk=args.chunk)
         return engines[key]
 
     regions = [None] * n

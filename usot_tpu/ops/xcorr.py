@@ -8,15 +8,17 @@ C-channel kernel with its own search feature map, per channel:
 
 Two formulations:
 
-* `xcorr_depthwise` (default) — shift-and-multiply: a static unrolled sum
-  of hk*wk shifted elementwise products. The encoded template kernels are
-  tiny (5x5 / 3x5 / 5x3), so this is <=25 fused VPU ops with NO grouped
-  convolution — it batches over videos linearly and sidesteps the
-  pathological lowering of feature_group_count = B*C grouped convs that we
-  measured on the current XLA TPU backend (compile cliffs at B>=32).
+* grouped-conv (batch folded into feature groups) — a single conv op;
+  fastest at small batch on the current backend (which taxes op count),
+  but its compile time explodes once feature_group_count = B*C reaches
+  ~8192.
 
-* `xcorr_depthwise_conv` — the grouped-conv formulation (batch folded into
-  feature groups), kept for cross-checking.
+* shift-and-multiply — a static unrolled sum of hk*wk shifted elementwise
+  products (<=25 fused VPU ops for the 5x5/3x5/5x3 encoded kernels);
+  compile-stable at any batch.
+
+`xcorr_depthwise` picks per-shape: grouped conv while B*C stays under the
+measured compile cliff, shift-multiply beyond (see PERF_NOTES.md).
 """
 from __future__ import annotations
 
@@ -25,8 +27,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_GROUPED_CONV_MAX_GROUPS = 4096  # measured compile cliff ~8192
+
+
 def xcorr_depthwise(x, kernel):
     """x: (B, Hx, Wx, C); kernel: (B, Hk, Wk, C) -> (B, Ho, Wo, C), VALID."""
+    b, c = x.shape[0], x.shape[3]
+    if b * c <= _GROUPED_CONV_MAX_GROUPS:
+        return xcorr_depthwise_conv(x, kernel)
+    return xcorr_depthwise_shift(x, kernel)
+
+
+def xcorr_depthwise_shift(x, kernel):
+    """Unrolled shift-and-multiply formulation."""
     b, hx, wx, c = x.shape
     _, hk, wk, _ = kernel.shape
     ho, wo = hx - hk + 1, wx - wk + 1
