@@ -47,6 +47,9 @@ class USOTDataset:
         self.far_sample = d.FAR_SAMPLE
 
         self.cycle_memory = True
+        # Set loader_test to a directory path to dump augmented crops with
+        # drawn boxes for eyeballing (ref: datasets_usot.py loader_test)
+        self.loader_test: str | None = None
         self.rng = np.random.default_rng(seed)
 
         self.template_aug = TemplateAug()
@@ -149,6 +152,20 @@ class USOTDataset:
         return Corner(*center2corner(Center(cx, cy, w, h)))
 
     @staticmethod
+    def _draw(image, box, name):
+        """Debug dump of an augmented crop with its box
+        (ref: datasets_usot.py:343-355)."""
+        import cv2
+        import os
+
+        os.makedirs(os.path.dirname(name), exist_ok=True)
+        draw = np.ascontiguousarray(np.asarray(image, np.uint8))
+        if box is not None:
+            x1, y1, x2, y2 = (int(round(float(v))) for v in box)
+            cv2.rectangle(draw, (x1, y1), (x2, y2), (0, 215, 255), 2)
+        cv2.imwrite(name, draw)
+
+    @staticmethod
     def _crop_hwc(image, bbox, out_sz, padding=(0, 0, 0)):
         import cv2
 
@@ -221,6 +238,13 @@ class USOTDataset:
             template_image, search_bbox, self.template_size)
         search_aug, bbox_s, shift_s = self._augmentation(
             search_image, search_bbox, self.search_size, search=True)
+
+        if self.loader_test:
+            tag = f"{int(self.rng.integers(0, 999999)):06d}"
+            self._draw(search_aug, bbox_s,
+                       join(self.loader_test, tag + "_s.jpg"))
+            self._draw(template_aug, bbox_t,
+                       join(self.loader_test, tag + "_t.jpg"))
 
         out = {
             "template": template_aug.astype(np.float32),
