@@ -142,10 +142,17 @@ def track_video_scan(model, variables, runner, video, args, engines):
         tracker_path = join(args.result_dir, args.dataset, args.arch)
     os.makedirs(tracker_path, exist_ok=True)
     is_vot = "VOT" in args.dataset
+    is_got = "GOT" in args.dataset
+    time_path = None
     if is_vot:
         video_path = join(tracker_path, "baseline", video["name"])
         os.makedirs(video_path, exist_ok=True)
         result_path = join(video_path, video["name"] + "_001.txt")
+    elif is_got:
+        video_path = join(tracker_path, video["name"])
+        os.makedirs(video_path, exist_ok=True)
+        result_path = join(video_path, video["name"] + "_001.txt")
+        time_path = join(video_path, f"{video['name']}_time.txt")
     else:
         result_path = join(tracker_path, f"{video['name']}.txt")
     if os.path.exists(result_path):
