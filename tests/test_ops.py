@@ -155,3 +155,19 @@ class TestXcorr:
         conv = xcorr_depthwise_conv(x, k)
         np.testing.assert_allclose(np.asarray(conv), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestXcorrPallas:
+    def test_pallas_kernel_matches_reference(self, rng):
+        """Pallas TPU kernel (interpreter mode on CPU) vs naive reference."""
+        from usot_tpu.ops.pallas.xcorr_kernel import xcorr_depthwise_pallas
+
+        for xs, ks in [((2, 31, 31, 256), (2, 5, 5, 256)),
+                       ((1, 27, 29, 256), (1, 3, 5, 256)),
+                       ((2, 29, 27, 128), (2, 5, 3, 128))]:
+            x = jnp.asarray(rng.normal(size=xs).astype(np.float32))
+            k = jnp.asarray(rng.normal(size=ks).astype(np.float32))
+            out = xcorr_depthwise_pallas(x, k, interpret=True)
+            ref = xcorr_depthwise_ref(x, k)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4)
