@@ -76,13 +76,17 @@ class ScanEngine:
 
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  im_h: int, im_w: int, max_frames: int = 4096,
-                 chunk: int = 64):
+                 chunk: int = 64, unroll: int = 8):
         self.model = model
         self.variables = variables
         self.p = p
         self.im_h, self.im_w = im_h, im_w
         self.max_frames = max_frames
         self.chunk = chunk
+        # scan unrolling: this backend taxes per-scan-iteration overhead
+        # far more than FLOPs (see PERF_NOTES.md), so merging `unroll`
+        # frames into each loop step buys near-linear speedups
+        self.unroll = max(1, min(unroll, chunk))
 
         instance = p.instance_size
         score = p.score_size
@@ -226,7 +230,8 @@ class ScanEngine:
                 sel_carry = jax.tree.map(keep, new_carry, carry)
                 return sel_carry, out
 
-            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid))
+            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid),
+                                       unroll=self.unroll)
             return carry, outs
 
         return chunk_fn
@@ -329,7 +334,7 @@ class BatchScanEngine(ScanEngine):
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  canvas_h: int, canvas_w: int, batch: int,
                  max_frames: int = 2048, chunk: int = 32,
-                 impl: str = "vmap"):
+                 impl: str = "vmap", unroll: int = 8):
         """impl: 'vmap' maps the single-video step over videos (grouped
         convs stay at 256 feature groups — fast lowering on current
         toolchains); 'native' feeds the net real (B, ...) batches (grouped
@@ -338,7 +343,7 @@ class BatchScanEngine(ScanEngine):
         self.batch = batch
         self.impl = impl
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
-                         max_frames=max_frames, chunk=chunk)
+                         max_frames=max_frames, chunk=chunk, unroll=unroll)
 
     def _frame_step_batched(self, variables, avg_b, im_hw_b, carry, frames):
         """Natively-batched frame step: the network sees real (B, ...)
@@ -477,7 +482,8 @@ class BatchScanEngine(ScanEngine):
                 sel = jax.tree.map(keep, new_carry, carry)
                 return sel, out
 
-            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid))
+            carry, outs = jax.lax.scan(body, carry, (frames_u8, valid),
+                                       unroll=self.unroll)
             return carry, outs
 
         return chunk_fn
