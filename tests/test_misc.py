@@ -1,0 +1,153 @@
+"""Tests for config merge, geometry helpers, polygon IoU, backbone-pretrain
+conversion and the crop implementations."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from usot_tpu.config.defaults import default_config, update_config
+from usot_tpu.core.crop import get_subwindow, subwindow_jax
+from usot_tpu.core.geometry import (aug_apply, Corner, corner2center,
+                                    center2corner, get_axis_aligned_bbox,
+                                    python2round, image_bbox_to_pool_bbox,
+                                    feature_axis)
+from usot_tpu.eval.polygon import poly_iou
+
+
+class TestConfig:
+    def test_yaml_merge(self, tmp_path):
+        cfg = default_config()
+        yml = {"USOT": {"TRAIN": {"BATCH": 99},
+                        "DATASET": {"SHIFT": 7, "GOT10K": {"USE": 5}}}}
+        path = tmp_path / "c.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(yml, f)
+        update_config(cfg, str(path))
+        assert cfg.USOT.TRAIN.BATCH == 99
+        assert cfg.USOT.DATASET.SHIFT == 7
+        assert cfg.USOT.DATASET.GOT10K.USE == 5
+        # untouched defaults survive
+        assert cfg.USOT.TRAIN.END_EPOCH == 30
+
+    def test_unknown_key_rejected(self, tmp_path):
+        cfg = default_config()
+        path = tmp_path / "bad.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump({"USOT": {"BOGUS_KEY": 1}}, f)
+        with pytest.raises(ValueError):
+            update_config(cfg, str(path))
+
+
+class TestGeometry:
+    def test_corner_center_roundtrip(self):
+        c = corner2center(Corner(10, 20, 50, 80))
+        assert (c.x, c.y, c.w, c.h) == (30, 50, 40, 60)
+        back = center2corner(c)
+        assert tuple(back) == (10, 20, 50, 80)
+
+    def test_python2round_half_away(self):
+        assert python2round(2.5) == 3
+        assert python2round(3.5) == 4
+        assert python2round(-2.5) == -3
+        assert python2round(2.4) == 2
+
+    def test_axis_aligned_bbox_polygon(self):
+        # axis-aligned rectangle as polygon: area-preserving scale == 1
+        poly = np.array([10, 20, 50, 20, 50, 80, 10, 80], float)
+        cx, cy, w, h = get_axis_aligned_bbox(poly)
+        assert cx == pytest.approx(30) and cy == pytest.approx(50)
+        assert w == pytest.approx(41) and h == pytest.approx(61)
+
+    def test_aug_apply_shift_clamped(self):
+        bbox = Corner(10, 10, 50, 50)
+        out, real = aug_apply(bbox, {"shift": (1000, 0)}, (100, 100))
+        assert out.x2 <= 99  # clamped inside image
+        assert real["shift"][0] < 1000
+
+    def test_pool_bbox_affine(self):
+        axis = feature_axis(15, 8, 127)
+        out = image_bbox_to_pool_bbox([7.0, 7.0, 119.0, 119.0], axis, 15)
+        np.testing.assert_allclose(out, [0, 0, 14, 14], atol=1e-5)
+        # clipped outside
+        out = image_bbox_to_pool_bbox([-50.0, 0.0, 500.0, 119.0], axis, 15)
+        assert out[0] == 0 and out[2] == 14
+
+
+class TestPolyIoU:
+    def test_rect_rect(self):
+        a = [0, 0, 10, 10]
+        b = [5, 0, 10, 10]
+        assert poly_iou(a, b) == pytest.approx(50 / 150)
+
+    def test_identical_quad(self):
+        q = [0, 0, 10, 2, 8, 12, -1, 9]
+        assert poly_iou(q, q) == pytest.approx(1.0)
+
+    def test_disjoint(self):
+        assert poly_iou([0, 0, 5, 5], [100, 100, 5, 5]) == 0.0
+
+    def test_bound_clipping(self):
+        # box half outside the bound: clipped before IoU
+        a = [-5, 0, 10, 10]   # rect extends left of image
+        b = [0, 0, 5, 10]
+        iou = poly_iou(a, b, bound=(100, 100))
+        assert iou == pytest.approx(1.0)
+
+
+class TestSubwindowParity:
+    def test_host_vs_jax_inside_image(self, rng):
+        im = (rng.random((200, 300, 3)) * 255).astype(np.uint8)
+        avg = im.mean(axis=(0, 1))
+        pos = np.array([150.0, 100.0])
+        host, _ = get_subwindow(im, pos, 127, 80, avg)
+        dev = subwindow_jax(jnp.asarray(im, jnp.float32), 150.0, 100.0,
+                            80.0, jnp.asarray(avg, jnp.float32), 127)
+        diff = np.abs(np.asarray(dev) - np.asarray(host, np.float32))
+        assert diff.mean() < 1.0  # cv2 fixed-point vs float bilinear
+
+    def test_host_vs_jax_with_padding(self, rng):
+        im = (rng.random((100, 120, 3)) * 255).astype(np.uint8)
+        avg = im.mean(axis=(0, 1))
+        pos = np.array([5.0, 5.0])  # window leaves the image
+        host, _ = get_subwindow(im, pos, 127, 90, avg)
+        dev = subwindow_jax(jnp.asarray(im, jnp.float32), 5.0, 5.0, 90.0,
+                            jnp.asarray(avg, jnp.float32), 127)
+        diff = np.abs(np.asarray(dev) - np.asarray(host, np.float32))
+        assert diff.mean() < 4.0
+
+
+class TestPretrainConversion:
+    def test_backbone_pretrain_zero_pad(self, rng):
+        """Canonical torchvision 1x1 downsample weights must be zero-padded
+        into this architecture's 3x3 slots (ref: train_utils.py:109-124)."""
+        from usot_tpu.models.convert import convert_backbone_pretrain
+        from usot_tpu.models.usot import build_usot, init_variables
+
+        model = build_usot(mem_size=1)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+
+        w11 = rng.normal(size=(512, 256, 1, 1)).astype(np.float32)
+        sd = {
+            "encoder_q.layer2.0.downsample.0.weight": w11,
+            "encoder_q.layer2.0.downsample.1.weight": np.ones(512, np.float32),
+            "encoder_q.layer2.0.downsample.1.bias": np.zeros(512, np.float32),
+            "encoder_q.layer2.0.downsample.1.running_mean":
+                np.zeros(512, np.float32),
+            "encoder_q.layer2.0.downsample.1.running_var":
+                np.ones(512, np.float32),
+        }
+        merged = convert_backbone_pretrain(sd, variables)
+        k = merged["params"]["features"]["layer2_0"]["downsample"]["conv"][
+            "kernel"]
+        assert k.shape == (3, 3, 256, 512)
+        # center tap carries the 1x1 weights, the rest is zero
+        np.testing.assert_allclose(k[1, 1], w11[:, :, 0, 0].T, atol=1e-6)
+        assert np.all(k[0, 0] == 0) and np.all(k[2, 2] == 0)
+        # untouched layers keep their init values
+        stem = merged["params"]["features"]["stem"]["conv"]["kernel"]
+        ref_stem = np.asarray(
+            variables["params"]["features"]["stem"]["conv"]["kernel"])
+        np.testing.assert_allclose(np.asarray(stem), ref_stem)

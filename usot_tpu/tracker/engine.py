@@ -334,7 +334,7 @@ class BatchScanEngine(ScanEngine):
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  canvas_h: int, canvas_w: int, batch: int,
                  max_frames: int = 2048, chunk: int = 32,
-                 impl: str = "vmap", unroll: int = 8):
+                 impl: str = "vmap", unroll: int = 1):
         """impl: 'vmap' maps the single-video step over videos (grouped
         convs stay at 256 feature groups — fast lowering on current
         toolchains); 'native' feeds the net real (B, ...) batches (grouped
