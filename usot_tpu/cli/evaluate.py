@@ -8,8 +8,6 @@ Dispatch per dataset family:
 from __future__ import annotations
 
 import argparse
-import os
-
 from usot_tpu.eval.benchmarks import (AccuracyRobustnessBenchmark,
                                       EAOBenchmark, F1Benchmark, OPEBenchmark)
 from usot_tpu.eval.datasets import create_dataset

@@ -14,9 +14,7 @@ import json
 import os
 import time
 import traceback
-from os.path import basename, join
-
-import numpy as np
+from os.path import join
 
 
 def parse_args(argv=None):

@@ -8,7 +8,6 @@ devices via a 1-D mesh.
 from __future__ import annotations
 
 import argparse
-import logging
 import os
 import time
 

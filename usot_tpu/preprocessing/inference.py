@@ -8,7 +8,6 @@ growing when < 8, one direction switch per frame).
 """
 from __future__ import annotations
 
-import os
 from typing import List, Tuple
 
 import numpy as np

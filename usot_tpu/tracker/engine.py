@@ -15,7 +15,6 @@ One compilation per (frame H, frame W, instance_size) bucket.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import numpy as np

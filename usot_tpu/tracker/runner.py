@@ -5,8 +5,6 @@ Wraps a USOTNet + variables into a set of fixed-shape jitted callables
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

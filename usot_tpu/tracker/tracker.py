@@ -12,8 +12,6 @@ computation exactly, INCLUDING its documented deviation
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ UNFIX_EPOCH stage boundary, mirroring the reference.
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import optax
 
