@@ -136,3 +136,54 @@ class TestFlow2Box:
         corner = calc_corner_bbox_freq(
             [(0, 0, 30, 30), (100, 100, 150, 150)], img_shape=(256, 256))
         assert corner == pytest.approx(0.5)
+
+
+class TestPipelineEndToEnd:
+    def test_inference_sequence_and_train_json(self, tmp_path, rng):
+        """Synthetic moving-square video -> flow -> candidate boxes -> DP ->
+        crop511 + train.json: the whole pseudo-label factory end to end
+        (random-init PWCLite at a tiny test shape; mechanics, not quality)."""
+        import cv2
+
+        from usot_tpu.preprocessing.crop_gen import (build_train_json,
+                                                     crop_video_frames)
+        from usot_tpu.preprocessing.inference import (FlowHelper,
+                                                      inference_sequence)
+
+        vdir = tmp_path / "video0"
+        vdir.mkdir()
+        paths = []
+        for f in range(14):
+            im = (rng.random((96, 128, 3)) * 60).astype(np.uint8)
+            x0 = 30 + 3 * f
+            im[30:70, x0:x0 + 36] = [200, 160, 90]
+            p = str(vdir / f"{f:04d}.jpg")
+            cv2.imwrite(p, im)
+            paths.append(p)
+
+        helper = FlowHelper(test_shape=(64, 96))
+        try:
+            bboxs, picked, stats = inference_sequence(helper, paths, gap=3)
+        except ValueError:
+            pytest.skip("random-init flow net found no candidate boxes")
+        freq_dict, found_freq, picked_freq, aver_vary, corner_freq = stats
+        assert len(bboxs) == 14
+        assert 0 <= picked_freq <= 1
+
+        crop_dir = tmp_path / "crop511" / "video0"
+        crop_video_frames(paths, bboxs, 0, str(crop_dir), instance_size=127)
+        assert (crop_dir / "000000.00.x.jpg").exists()
+
+        raw = {"video0": {"00": {
+            "frames": [list(map(float, b)) for b in bboxs],
+            "freq": [[float(a), float(b)] for a, b in freq_dict],
+            "meta": {"bbox_picked_freq": max(float(picked_freq), 0.5),
+                     "corner_bbox_freq": min(float(corner_freq), 0.1),
+                     "frame_sz": [128, 96]},
+        }}}
+        ann = build_train_json(raw)
+        assert "video0" in ann
+        track = ann["video0"]["00"]
+        frame0 = track["0"]
+        assert len(frame0) == 9  # bbox4 + freq2 + [T_l, T_u, corner]
+        assert frame0[6] <= 0 <= frame0[7]
