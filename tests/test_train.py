@@ -174,3 +174,27 @@ class TestTrainStep:
         a = jax.tree.leaves(state.params)
         b = jax.tree.leaves(restored.params)
         assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+class TestLosses:
+    def test_iou_loss_masked_cells_do_not_poison(self):
+        """Cells outside the positive mask carry negative ltrb targets;
+        they must not NaN the masked mean (regression: the -log must only
+        see positive cells' ratios)."""
+        from usot_tpu.train.losses import iou_loss, weighted_bce
+
+        pred = jnp.ones((1, 5, 5, 4)) * 3.0
+        target = jnp.full((1, 5, 5, 4), -7.0)      # negative everywhere...
+        target = target.at[0, 2, 2].set(jnp.asarray([3.0, 3.0, 3.0, 3.0]))
+        weight = jnp.zeros((1, 5, 5)).at[0, 2, 2].set(1.0)
+        loss = iou_loss(pred, target, weight)
+        assert np.isfinite(float(loss))
+        assert float(loss) == pytest.approx(0.0, abs=1e-5)  # exact match cell
+
+        # all-negative mask: loss must still be finite (0/1 denominator)
+        loss = iou_loss(pred, target, jnp.zeros((1, 5, 5)))
+        assert np.isfinite(float(loss))
+
+        # weighted BCE with no positives is finite too
+        lab = jnp.zeros((1, 5, 5))
+        assert np.isfinite(float(weighted_bce(jnp.zeros((1, 5, 5, 1)), lab)))

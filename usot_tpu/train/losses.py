@@ -51,5 +51,10 @@ def iou_loss(bbox_pred, reg_target, reg_weight):
     h_inter = jnp.minimum(pb, tb) + jnp.minimum(pt, tt)
     inter = w_inter * h_inter
     union = target_area + pred_area - inter
-    losses = -jnp.log((inter + 1.0) / (union + 1.0))
+    # Masked-out cells carry negative ltrb targets; the reference gathers
+    # positives before the log and never evaluates them. Select a safe
+    # ratio there (NaN * 0 would otherwise poison the masked mean).
+    ratio = (inter + 1.0) / (union + 1.0)
+    safe_ratio = jnp.where(w > 0, ratio, 1.0)
+    losses = -jnp.log(jnp.maximum(safe_ratio, 1e-10))
     return _masked_mean(losses, w)
