@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=2000)
     p.add_argument("--instance_size", type=int, default=511)
     p.add_argument("--limit", type=int, default=0, help="max videos (debug)")
+    p.add_argument("--prohibit", default=None,
+                   help="file listing prohibited video names (VOT2020)")
     return p.parse_args(argv)
 
 
@@ -38,10 +40,28 @@ def video_frame_lists(data_dir: str, dataset: str, max_frames: int):
     for v in videos:
         frames = sorted(glob.glob(join(data_dir, v, "*.jpg")))
         if not frames:
+            frames = sorted(glob.glob(join(data_dir, v, "img", "*.jpg")))
+        if not frames:
             frames = sorted(glob.glob(join(data_dir, v, "*.png")))
         if len(frames) < 10:
             continue
-        yield v, frames[:max_frames]
+        if dataset == "lasot":
+            # LaSOT videos are long: 200+20-frame overlapping windows
+            # (ref: parse_lasot_flow.py:63-83)
+            piece, extend = 200, 20
+            split_id = 0
+            while True:
+                start = split_id * piece
+                end = start + piece + extend
+                if start >= len(frames):
+                    break
+                split_id += 1
+                if end >= len(frames):
+                    end = len(frames) - 1
+                    start = max(0, end - piece - extend)
+                yield f"{v}-{split_id:02d}", frames[start:end + 1]
+        else:
+            yield v, frames[:max_frames]
 
 
 def main(argv=None):
@@ -97,7 +117,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     with open(join(args.output_dir, "raw.json"), "w") as f:
         json.dump(raw, f)
-    annotations = build_train_json(raw)
+    annotations = build_train_json(raw, prohibit_file=args.prohibit)
     save_train_json(annotations, join(args.output_dir, "train.json"))
     print(f"wrote {len(annotations)} videos to train.json")
 

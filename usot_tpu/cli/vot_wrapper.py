@@ -17,6 +17,49 @@ Point = collections.namedtuple("Point", ["x", "y"])
 Polygon = collections.namedtuple("Polygon", ["points"])
 
 
+def make_full_size(x, output_sz):
+    """Zero-pad (or crop) a mask to output_sz = [width, height]
+    (ref: scripts/test_vot2020.py:21-38)."""
+    if x.shape[0] == output_sz[1] and x.shape[1] == output_sz[0]:
+        return x
+    pad_x = output_sz[0] - x.shape[1]
+    if pad_x < 0:
+        x = x[:, :x.shape[1] + pad_x]
+        pad_x = 0
+    pad_y = output_sz[1] - x.shape[0]
+    if pad_y < 0:
+        x = x[:x.shape[0] + pad_y, :]
+        pad_y = 0
+    return np.pad(x, ((0, pad_y), (0, pad_x)), "constant",
+                  constant_values=0)
+
+
+def rect_from_mask(mask):
+    """Minimal (cx, cy, w, h) rectangle covering a binary mask
+    (ref: test_vot2020.py:40-55)."""
+    x_ = np.sum(mask, axis=0)
+    y_ = np.sum(mask, axis=1)
+    x0 = np.min(np.nonzero(x_))
+    x1 = np.max(np.nonzero(x_))
+    y0 = np.min(np.nonzero(y_))
+    y1 = np.max(np.nonzero(y_))
+    w = x1 - x0 + 1
+    h = y1 - y0 + 1
+    return [x0 + w / 2, y0 + h / 2, w, h]
+
+
+def mask_from_rect(rect, output_sz):
+    """Binary mask for a [x0, y0, w, h] rectangle
+    (ref: test_vot2020.py:57-69)."""
+    mask = np.zeros((output_sz[1], output_sz[0]), dtype=np.uint8)
+    x0 = max(int(round(rect[0])), 0)
+    y0 = max(int(round(rect[1])), 0)
+    x1 = min(int(round(rect[0] + rect[2])), output_sz[0])
+    y1 = min(int(round(rect[1] + rect[3])), output_sz[1])
+    mask[y0:y1, x0:x1] = 1
+    return mask
+
+
 class VOT:
     """Minimal TraX client (ref: scripts/vot.py:26-121)."""
 

@@ -130,15 +130,24 @@ def memory_bounds(bbox_seq_list, idx, search_gap=2, max_frame_gap=320,
     return left_ptr, right_ptr
 
 
-def build_train_json(raw_annotations: dict, search_gap=2, max_frame_gap=320):
+def build_train_json(raw_annotations: dict, search_gap=2, max_frame_gap=320,
+                     prohibit_file: str | None = None):
     """raw: {video: {track_id: {'frames': [[x1,y1,x2,y2], ...],
                                 'freq': [[st, lt], ...],
                                 'meta': {bbox_picked_freq, corner_bbox_freq,
                                          frame_sz}}}}
     -> loader schema with per-frame 9-tuples and track filtering
-    (ref: gen_json.py:100-181)."""
+    (ref: gen_json.py:100-181). prohibit_file optionally lists video names
+    to drop (e.g. the GOT-10k prohibited-1000 list for VOT2020 entries,
+    ref: gen_json.py:173-181)."""
+    prohibited = set()
+    if prohibit_file and os.path.exists(prohibit_file):
+        with open(prohibit_file) as f:
+            prohibited = {ln.strip() for ln in f if ln.strip()}
     out = {}
     for video, tracks in raw_annotations.items():
+        if video in prohibited or video.split("/")[-1] in prohibited:
+            continue
         video_out = {}
         for track_id, track in tracks.items():
             meta = track["meta"]
