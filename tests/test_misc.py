@@ -151,3 +151,56 @@ class TestPretrainConversion:
         ref_stem = np.asarray(
             variables["params"]["features"]["stem"]["conv"]["kernel"])
         np.testing.assert_allclose(np.asarray(stem), ref_stem)
+
+
+class TestVOT2020Masks:
+    def test_mask_rect_roundtrip(self):
+        from usot_tpu.cli.vot_wrapper import (make_full_size, mask_from_rect,
+                                              rect_from_mask)
+
+        rect = [10, 20, 30, 40]
+        mask = mask_from_rect(rect, (100, 120))
+        assert mask.shape == (120, 100)
+        cx, cy, w, h = rect_from_mask(mask)
+        assert (w, h) == (30, 40)
+        assert cx == pytest.approx(10 + 15) and cy == pytest.approx(20 + 20)
+
+        small = np.ones((50, 60), np.uint8)
+        full = make_full_size(small, (100, 120))
+        assert full.shape == (120, 100)
+        assert full[:50, :60].all() and not full[60:, 70:].any()
+
+
+class TestProhibitAndWindowing:
+    def test_prohibit_filter(self, tmp_path):
+        from usot_tpu.preprocessing.crop_gen import build_train_json
+
+        raw = {}
+        for v in ("keep_me", "drop_me"):
+            raw[v] = {"00": {
+                "frames": [[10, 10, 60, 60]] * 4,
+                "freq": [[0.9, 0.8]] * 4,
+                "meta": {"bbox_picked_freq": 0.9, "corner_bbox_freq": 0.05,
+                         "frame_sz": [320, 240]},
+            }}
+        plist = tmp_path / "prohibit.txt"
+        plist.write_text("drop_me\n")
+        out = build_train_json(raw, prohibit_file=str(plist))
+        assert "keep_me" in out and "drop_me" not in out
+
+    def test_lasot_windowing(self, tmp_path):
+        import cv2
+
+        from usot_tpu.cli.parse_flow import video_frame_lists
+
+        vdir = tmp_path / "vid-1"
+        vdir.mkdir()
+        im = np.zeros((8, 8, 3), np.uint8)
+        for f in range(450):
+            cv2.imwrite(str(vdir / f"{f:08d}.jpg"), im)
+        pieces = list(video_frame_lists(str(tmp_path), "lasot", 2000))
+        # 450 frames -> windows [0,220], [200,420], [229,449]
+        assert len(pieces) == 3
+        assert all(len(fr) == 221 for _, fr in pieces)
+        names = [n for n, _ in pieces]
+        assert names[0].endswith("-01")
