@@ -50,7 +50,11 @@ class USOTDataset:
         # Set loader_test to a directory path to dump augmented crops with
         # drawn boxes for eyeballing (ref: datasets_usot.py loader_test)
         self.loader_test: str | None = None
-        self.rng = np.random.default_rng(seed)
+        # Per-item generators are derived from this seed in __getitem__ so
+        # threaded loader workers never share RNG state (np.random.Generator
+        # is not thread-safe) and samples stay reproducible per index.
+        self.seed = 0 if seed is None else int(seed)
+        self.rng = np.random.default_rng(self.seed)
 
         self.template_aug = TemplateAug()
         self.search_aug = SearchAug()
@@ -180,12 +184,13 @@ class USOTDataset:
                               borderValue=padding)
 
     def _augmentation(self, image, bbox, size, search=False,
-                      cycle_memory=False):
+                      cycle_memory=False, rng=None):
+        rng = rng if rng is not None else self.rng
         shape = image.shape
         crop_bbox = center2corner((shape[0] // 2, shape[1] // 2, size, size))
 
         def pn(scale):
-            return (self.rng.random() * 2 - 1.0) * scale
+            return (rng.random() * 2 - 1.0) * scale
 
         if not search:
             param = {"shift": (pn(self.shift), pn(self.shift)),
@@ -207,11 +212,11 @@ class USOTDataset:
 
         blist = [bbox.x1, bbox.y1, bbox.x2, bbox.y2]
         if not search:
-            image, blist = self.template_aug(image, blist, self.rng)
+            image, blist = self.template_aug(image, blist, rng)
         elif not cycle_memory:
-            image, blist = self.search_aug(image, blist, self.rng)
+            image, blist = self.search_aug(image, blist, rng)
         else:
-            image, blist = self.memory_aug(image, blist, self.rng)
+            image, blist = self.memory_aug(image, blist, rng)
 
         clip = lambda v, m: max(0.0, min(float(m), float(v)))
         bbox = Corner(clip(blist[0], image.shape[0]),
@@ -226,6 +231,7 @@ class USOTDataset:
     def __getitem__(self, index):
         import cv2
 
+        rng = np.random.default_rng((self.seed, int(index)))
         index = self.pick[index % len(self.pick)]
         dataset, index = self._choose_dataset(index)
         pair_info = dataset.get_instances(index, self.cycle_memory)
@@ -235,12 +241,13 @@ class USOTDataset:
         template_image = search_image
 
         template_aug, bbox_t, _ = self._augmentation(
-            template_image, search_bbox, self.template_size)
+            template_image, search_bbox, self.template_size, rng=rng)
         search_aug, bbox_s, shift_s = self._augmentation(
-            search_image, search_bbox, self.search_size, search=True)
+            search_image, search_bbox, self.search_size, search=True,
+            rng=rng)
 
         if self.loader_test:
-            tag = f"{int(self.rng.integers(0, 999999)):06d}"
+            tag = f"{int(rng.integers(0, 999999)):06d}"
             self._draw(search_aug, bbox_s,
                        join(self.loader_test, tag + "_s.jpg"))
             self._draw(template_aug, bbox_t,
@@ -264,7 +271,7 @@ class USOTDataset:
                 bb = self._to_bbox(im, pair_info[3][i])
                 crop, _, _ = self._augmentation(im, bb, self.search_size,
                                                 search=True,
-                                                cycle_memory=True)
+                                                cycle_memory=True, rng=rng)
                 mems.append(crop.astype(np.float32))
             out["search_memory"] = np.stack(mems)
             out["search_bbox"] = np.asarray(
