@@ -38,6 +38,9 @@ def parse_args(argv=None):
     parser.add_argument("--chunk", default=32, type=int)
     parser.add_argument("--batch", default=8, type=int,
                         help="videos per lockstep group (engine=batch)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (scan/batch engines)")
     return parser.parse_args(argv)
 
 
@@ -365,7 +368,11 @@ def main(argv=None):
 
     args = parse_args(argv)
 
-    model = build_usot(mem_size=args.mem_size)
+    import jax.numpy as jnp
+
+    model = build_usot(mem_size=args.mem_size,
+                       dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                       else jnp.float32)
     if args.resume and os.path.exists(args.resume):
         variables = load_variables(args.resume)
     else:
