@@ -150,3 +150,41 @@ class TestVOTLoop:
         assert len(overlaps) == 6
         failures = list(out["ar"]["USOT"]["failures"].values())[0]
         assert all(f >= 0 for f in failures)
+
+
+class TestBatchedEvalLoop:
+    def test_track_dataset_batched(self, tmp_path, runner_setup):
+        """engine=batch over a 2-video synthetic OTB benchmark: grouping,
+        canvas padding, lockstep tracking and result writing."""
+        from usot_tpu.cli.test import parse_args, track_dataset_batched
+        from usot_tpu.data.benchmark import load_dataset
+
+        model, variables, runner = runner_setup
+        root = tmp_path / "datasets_test"
+        base = root / "OTB2015"
+        meta = {}
+        for i, vid in enumerate(("Walk1", "Walk2")):
+            n = 5 + i  # ragged lengths
+            names = _write_video_frames(str(base / vid / "img"), n=n,
+                                        seed=i)
+            gt = [[88, 108, 48, 48]] * n
+            meta[vid] = {"video_dir": vid, "init_rect": gt[0],
+                         "img_names": [f"{vid}/img/{x}" for x in names],
+                         "gt_rect": gt, "attr": []}
+        with open(root / "OTB2015.json", "w") as f:
+            json.dump(meta, f)
+
+        dataset = load_dataset("OTB2015", str(root))
+        args = parse_args(["--dataset", "OTB2015", "--engine", "batch",
+                           "--batch", "2", "--chunk", "3",
+                           "--result_dir", str(tmp_path / "result")])
+        track_dataset_batched(model, variables, runner, dataset, args)
+
+        for vid, n in (("Walk1", 5), ("Walk2", 6)):
+            path = tmp_path / "result" / "OTB2015" / "USOT" / f"{vid}.txt"
+            assert path.exists()
+            lines = path.read_text().splitlines()
+            assert len(lines) == n
+            for ln in lines:
+                vals = [float(v) for v in ln.split(",")]
+                assert len(vals) == 4 and all(np.isfinite(vals))

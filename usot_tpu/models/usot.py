@@ -206,26 +206,31 @@ def build_usot(mem_size: int = 4, dtype=jnp.float32, **kwargs) -> USOTNet:
 
 
 def init_variables(model: USOTNet, rng, batch: int = 1):
-    """Initialize variables with a tiny dummy batch.
+    """Initialize variables cheaply on the CPU backend.
 
-    Pinned to the CPU backend: init is trivial compute, and compiling the
-    full training graph on a (possibly remote) accelerator just to draw
-    initial weights wastes minutes. Params transfer to the accelerator on
-    first real use.
+    Two tiny inference-method inits cover the complete parameter tree
+    (template_features touches backbone+neck; track_memory touches the
+    whole correlation head incl. the memory branch), so we never trace the
+    full training graph just to draw weights — that costs minutes on a
+    single host core or a remote-compile accelerator.
     """
+    del batch  # parameter shapes are batch-independent
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        t = jnp.zeros((batch, 127, 127, 3), model.dtype)
-        s = jnp.zeros((batch, 255, 255, 3), model.dtype)
-        lab = jnp.zeros((batch, 25, 25), model.dtype)
-        reg = jnp.zeros((batch, 25, 25, 4), model.dtype)
-        regw = jnp.zeros((batch, 25, 25), model.dtype)
-        tb = jnp.asarray([[2.0, 2.0, 12.0, 12.0]] * batch, model.dtype)
-        sm = jnp.zeros((batch, 1, 255, 255, 3), model.dtype)
-        sb = jnp.asarray([[6.0, 6.0, 18.0, 18.0]] * batch, model.dtype)
-        variables = model.init(
-            rng, t, s, lab, reg, regw, tb, search_memory=sm, search_bbox=sb,
-            method=USOTNet.forward_train)
+        z = jnp.zeros((1, 63, 63, 3), model.dtype)
+        tb = jnp.asarray([[1.0, 1.0, 5.0, 5.0]], model.dtype)
+        v_backbone = model.init(rng, z, tb,
+                                method=USOTNet.template_features)
+        xf = jnp.zeros((1, 13, 13, 256), model.dtype)
+        zf = jnp.zeros((1, 7, 7, 256), model.dtype)
+        mem = jnp.zeros((2, 7, 7, 256), model.dtype)
+        v_head = model.init(rng, xf, zf, mem, method=USOTNet.track_memory)
+
+        variables = {
+            "params": {**v_backbone["params"], **v_head["params"]},
+            "batch_stats": {**v_backbone["batch_stats"],
+                            **v_head["batch_stats"]},
+        }
     # Return uncommitted host arrays so downstream jits place them on
     # whatever backend they run on.
     return jax.tree.map(np.asarray, variables)
