@@ -301,7 +301,7 @@ class ScanEngine:
         (state, positions (N,2), sizes (N,2), scores (N,))."""
         n = len(frames_u8)
         avg = jnp.asarray(self.avg_chans, jnp.float32)
-        all_pos, all_sz, all_score = [], [], []
+        pending = []  # defer D2H so host upload of chunk i+1 overlaps
         for i in range(0, n, self.chunk):
             block = frames_u8[i:i + self.chunk]
             nb = len(block)
@@ -310,12 +310,13 @@ class ScanEngine:
                 block = np.concatenate([block, pad], axis=0)
             valid = jnp.asarray(
                 np.arange(self.chunk) < nb)
-            state, (pos, sz, score) = self._chunk_fn(
+            state, outs = self._chunk_fn(
                 self.variables, state, jnp.asarray(block), valid, avg,
                 jnp.asarray([self.im_h, self.im_w], jnp.float32))
-            all_pos.append(np.asarray(pos[:nb]))
-            all_sz.append(np.asarray(sz[:nb]))
-            all_score.append(np.asarray(score[:nb]))
+            pending.append((nb, outs))
+        all_pos = [np.asarray(o[0][:nb]) for nb, o in pending]
+        all_sz = [np.asarray(o[1][:nb]) for nb, o in pending]
+        all_score = [np.asarray(o[2][:nb]) for nb, o in pending]
         return state, np.concatenate(all_pos), np.concatenate(all_sz), \
             np.concatenate(all_score)
 
@@ -508,7 +509,7 @@ class BatchScanEngine(ScanEngine):
         score (B,N))."""
         b, n = frames_u8.shape[:2]
         assert b == self.batch
-        all_pos, all_sz, all_score = [], [], []
+        pending = []  # defer D2H so host upload of chunk i+1 overlaps
         for i in range(0, n, self.chunk):
             block = frames_u8[:, i:i + self.chunk]
             nb = block.shape[1]
@@ -519,12 +520,13 @@ class BatchScanEngine(ScanEngine):
             t_idx = np.arange(self.chunk)[:, None] + i
             valid = jnp.asarray(t_idx < n_valid[None, :])
             block_tb = jnp.asarray(np.swapaxes(block, 0, 1))  # (T,B,H,W,3)
-            state, (pos, sz, score) = self._chunk_fn(
+            state, outs = self._chunk_fn(
                 self.variables, state, block_tb, valid, self._avg_b,
                 self._im_hw_b)
-            all_pos.append(np.asarray(pos[:nb]))
-            all_sz.append(np.asarray(sz[:nb]))
-            all_score.append(np.asarray(score[:nb]))
+            pending.append((nb, outs))
+        all_pos = [np.asarray(o[0][:nb]) for nb, o in pending]
+        all_sz = [np.asarray(o[1][:nb]) for nb, o in pending]
+        all_score = [np.asarray(o[2][:nb]) for nb, o in pending]
         pos = np.concatenate(all_pos).transpose(1, 0, 2)
         sz = np.concatenate(all_sz).transpose(1, 0, 2)
         score = np.concatenate(all_score).transpose(1, 0)
