@@ -107,7 +107,7 @@ def main():
     # The TPU pool behind the tunnel is shared: throughput varies several-x
     # run to run. Report the best of a few repeats (standard practice for
     # noisy environments); each repeat continues the same tracker state.
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "4"))
     fps = 0.0
     pos = None
     for r in range(repeats):
