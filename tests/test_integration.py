@@ -188,3 +188,38 @@ class TestBatchedEvalLoop:
             for ln in lines:
                 vals = [float(v) for v in ln.split(",")]
                 assert len(vals) == 4 and all(np.isfinite(vals))
+
+
+class TestScanCLILoop:
+    def test_track_video_scan_otb(self, tmp_path, runner_setup):
+        """engine=scan CLI path: on-device scan per video + OTB result file."""
+        from usot_tpu.cli.test import parse_args, track_video_scan
+        from usot_tpu.data.benchmark import load_dataset
+
+        model, variables, runner = runner_setup
+        root = tmp_path / "datasets_test"
+        base = root / "OTB2015"
+        names = _write_video_frames(str(base / "Run1" / "img"), n=5)
+        gt = [[88, 108, 48, 48]] * 5
+        meta = {"Run1": {"video_dir": "Run1", "init_rect": gt[0],
+                         "img_names": [f"Run1/img/{n}" for n in names],
+                         "gt_rect": gt, "attr": []}}
+        with open(root / "OTB2015.json", "w") as f:
+            json.dump(meta, f)
+
+        dataset = load_dataset("OTB2015", str(root))
+        args = parse_args(["--dataset", "OTB2015", "--engine", "scan",
+                           "--chunk", "4",
+                           "--result_dir", str(tmp_path / "result")])
+        engines = {}
+        for name in dataset:
+            track_video_scan(model, variables, runner, dataset[name], args,
+                             engines)
+
+        path = tmp_path / "result" / "OTB2015" / "USOT" / "Run1.txt"
+        assert path.exists()
+        lines = path.read_text().splitlines()
+        assert len(lines) == 5
+        for ln in lines:
+            vals = [float(v) for v in ln.split(",")]
+            assert len(vals) == 4 and all(np.isfinite(vals))
