@@ -282,6 +282,8 @@ class F1Benchmark:
     def _calculate(self, tracker_name):
         score = []
         for video in self.dataset:
+            if tracker_name not in video.confidence:
+                video.load_tracker(self.dataset.tracker_path, tracker_name)
             conf = video.confidence.get(tracker_name)
             if conf is None:
                 continue

@@ -190,6 +190,44 @@ class VOTDataset(BaseDataset):
                      "size_change", "occlusion", "empty"]
 
 
+class VOTLTVideo(Video):
+    """VOT long-term video: results live under longterm/<video>/ with a
+    per-frame confidence file (ref: pysot/datasets/vot.py VOTLTVideo)."""
+
+    def __init__(self, name, root, video_dir, init_rect, img_names, gt_rect,
+                 load_img=False):
+        super().__init__(name, root, video_dir, init_rect, img_names,
+                         gt_rect, None, load_img)
+        self.gt_traj = [[0] if np.isnan(bbox[0]) else bbox
+                        for bbox in self.gt_traj]
+        self.confidence = {}
+
+    def load_tracker(self, path, tracker_names=None, store=True):
+        if not tracker_names:
+            tracker_names = [x.split("/")[-1] for x in glob(path)
+                             if os.path.isdir(x)]
+        if isinstance(tracker_names, str):
+            tracker_names = [tracker_names]
+        traj, score = None, None
+        for name in tracker_names:
+            traj_file = os.path.join(path, name, "longterm", self.name,
+                                     self.name + "_001.txt")
+            with open(traj_file) as f:
+                traj = [list(map(float, x.strip().split(",")))
+                        for x in f.readlines()]
+            if store:
+                self.pred_trajs[name] = traj
+            confidence_file = os.path.join(
+                path, name, "longterm", self.name,
+                self.name + "_001_confidence.value")
+            with open(confidence_file) as f:
+                score = [float(x.strip()) for x in f.readlines()[1:]]
+                score.insert(0, float("nan"))
+            if store:
+                self.confidence[name] = score
+        return traj, score
+
+
 class VOTLTDataset(BaseDataset):
     """VOT long-term: confidence files alongside bbox files."""
 
@@ -198,12 +236,10 @@ class VOTLTDataset(BaseDataset):
         with open(os.path.join(dataset_root, name + ".json")) as f:
             meta = json.load(f)
         for video in meta.keys():
-            v = Video(video, os.path.join(dataset_root, name),
-                      meta[video]["video_dir"], meta[video]["init_rect"],
-                      meta[video]["img_names"], meta[video]["gt_rect"],
-                      None, load_img)
-            v.confidence = {}
-            self.videos[video] = v
+            self.videos[video] = VOTLTVideo(
+                video, os.path.join(dataset_root, name),
+                meta[video]["video_dir"], meta[video]["init_rect"],
+                meta[video]["img_names"], meta[video]["gt_rect"], load_img)
 
 
 def create_dataset(name: str, dataset_root: str, load_img=False):
