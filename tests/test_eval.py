@@ -100,3 +100,48 @@ class TestStatistics:
         assert np.isnan(overlaps[0]) and np.isnan(overlaps[1])
         assert overlaps[2] == pytest.approx(1.0)
         assert acc == pytest.approx(1.0)
+
+
+class TestVOTLT:
+    def test_f1_benchmark_from_disk(self, tmp_path):
+        """VOT-LT loop: longterm result + confidence files -> F1."""
+        import json
+        import os
+
+        from usot_tpu.eval.benchmarks import F1Benchmark
+        from usot_tpu.eval.datasets import create_dataset
+
+        root = tmp_path
+        name = "VOT2018-LT"
+        vid = "person1"
+        n = 150  # determine_thresholds assumes >~100 confidence scores
+        gts = [[10.0 + i, 20.0 + i, 40.0, 60.0] for i in range(n)]
+        meta = {vid: {"video_dir": vid, "init_rect": gts[0],
+                      "img_names": [f"{vid}/{i:08d}.jpg" for i in range(n)],
+                      "gt_rect": gts}}
+        with open(root / f"{name}.json", "w") as f:
+            json.dump(meta, f)
+        # first frame must exist: Video reads width/height from it
+        import cv2
+        os.makedirs(root / name / vid)
+        cv2.imwrite(str(root / name / vid / "00000000.jpg"),
+                    np.zeros((240, 320, 3), np.uint8))
+
+        result_dir = root / "results" / "USOT" / "longterm" / vid
+        os.makedirs(result_dir)
+        with open(result_dir / f"{vid}_001.txt", "w") as f:
+            f.write("1\n")
+            for g in gts[1:]:
+                f.write(",".join(str(v) for v in g) + "\n")
+        with open(result_dir / f"{vid}_001_confidence.value", "w") as f:
+            f.write("\n")  # header line skipped by the loader
+            for i in range(n - 1):
+                f.write(f"{0.5 + 0.04 * i:.4f}\n")
+
+        dataset = create_dataset(name, str(root))
+        dataset.set_tracker(str(root / "results"), ["USOT"])
+        f1 = F1Benchmark(dataset)
+        out = f1.eval(["USOT"])
+        fs = list(out["USOT"]["f1"].values())[0]
+        # predictions == gt -> precision 1 at permissive thresholds
+        assert np.nanmax(fs) > 0.8

@@ -280,6 +280,9 @@ class F1Benchmark:
         return ret
 
     def _calculate(self, tracker_name):
+        """ref: pysot/evaluation/f1_benchmark.py:_cal_precision_reall —
+        thresholds from ALL videos' full confidence lists (the leading NaN
+        is dropped inside determine_thresholds)."""
         score = []
         for video in self.dataset:
             if tracker_name not in video.confidence:
@@ -287,7 +290,7 @@ class F1Benchmark:
             conf = video.confidence.get(tracker_name)
             if conf is None:
                 continue
-            score += conf[1:]
+            score += conf
         score = np.array(score)
         thresholds = determine_thresholds(score)[::-1]
 
@@ -304,7 +307,7 @@ class F1Benchmark:
             overlaps = calculate_accuracy(
                 traj, gt_traj, bound=(video.width, video.height))[1]
             f1_, precision_, recall_ = calculate_f1(
-                overlaps, conf[1:], (video.width, video.height),
+                overlaps, conf, (video.width, video.height),
                 thresholds, N)
             precision[video.name] = precision_
             recall[video.name] = recall_
