@@ -388,6 +388,9 @@ def main(argv=None):
         if "VOT" in args.dataset:
             raise SystemExit("engine=batch does not support the VOT restart "
                              "protocol; use --engine scan or parity")
+        if "GOT" in args.dataset:
+            raise SystemExit("engine=batch writes OTB-style result files; "
+                             "use --engine scan for the GOT-10k layout")
         track_dataset_batched(model, variables, runner, dataset, args)
         return
 
