@@ -169,20 +169,28 @@ def track_video_scan(model, variables, runner, video, args, engines):
             im = cv2.cvtColor(im, cv2.COLOR_GRAY2BGR)
         frames.append(im)
     n = len(frames)
+    im_h, im_w = frames[0].shape[:2]
+    # Canvas buckets (128-px): the engine treats the valid image size as a
+    # traced input, so one compile serves every resolution in the bucket.
+    canvas_h = (im_h + 127) // 128 * 128
+    canvas_w = (im_w + 127) // 128 * 128
+    padded = np.zeros((n, canvas_h, canvas_w, 3), np.uint8)
+    for fi, im in enumerate(frames):
+        padded[fi, :im.shape[0], :im.shape[1]] = im
     t0 = time.perf_counter()
 
-    def get_engine(im, target_sz):
+    def get_engine(target_sz):
         p = TrackerConfig()
         small = ((target_sz[0] * target_sz[1])
-                 / float(im.shape[0] * im.shape[1])) >= 0.004
+                 / float(im_h * im_w)) >= 0.004
         p.instance_size = p.small_sz if small else p.big_sz
         p.renew()
         p.sf_size = p.score_size
-        key = (im.shape[0], im.shape[1], p.instance_size)
+        key = (canvas_h, canvas_w, p.instance_size)
         if key not in engines:
-            # fixed carry capacity: one compile per (resolution, instance)
+            # fixed carry capacity: one compile per (bucket, instance)
             engines[key] = ScanEngine(
-                model, variables, p, im_h=im.shape[0], im_w=im.shape[1],
+                model, variables, p, im_h=canvas_h, im_w=canvas_w,
                 max_frames=4096, chunk=args.chunk)
         return engines[key]
 
@@ -190,7 +198,7 @@ def track_video_scan(model, variables, runner, video, args, engines):
     start_frame = 0
     while start_frame < n:
         cx, cy, w, h = get_axis_aligned_bbox(np.asarray(gt[start_frame]))
-        engine = get_engine(frames[start_frame], (w, h))
+        engine = get_engine((w, h))
         state = engine.init_state(frames[start_frame],
                                   np.array([cx, cy]), np.array([w, h]),
                                   _runner_of(engine, model, variables))
@@ -198,7 +206,7 @@ def track_video_scan(model, variables, runner, video, args, engines):
         if start_frame + 1 >= n:
             break
         _, pos, sz, score = engine.track_frames(
-            state, np.stack(frames[start_frame + 1:]))
+            state, padded[start_frame + 1:], im_hw=(im_h, im_w))
         failure_at = None
         for i in range(len(pos)):
             f = start_frame + 1 + i

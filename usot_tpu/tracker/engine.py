@@ -296,10 +296,15 @@ class ScanEngine:
             zf=zf, init_feats=init_feats, mem_feat=mem_feat,
             mem_conf=mem_conf, mem_len=jnp.asarray(1, jnp.int32))
 
-    def track_frames(self, state: EngineState, frames_u8: np.ndarray):
+    def track_frames(self, state: EngineState, frames_u8: np.ndarray,
+                     im_hw=None):
         """Track a batch of frames (N, H, W, 3) uint8. Returns
-        (state, positions (N,2), sizes (N,2), scores (N,))."""
+        (state, positions (N,2), sizes (N,2), scores (N,)).
+
+        im_hw optionally gives the true (h, w) of the video when frames
+        are padded onto a larger canvas (resolution-bucketed compiles)."""
         n = len(frames_u8)
+        hw = (self.im_h, self.im_w) if im_hw is None else im_hw
         avg = jnp.asarray(self.avg_chans, jnp.float32)
         pending = []  # defer D2H so host upload of chunk i+1 overlaps
         for i in range(0, n, self.chunk):
@@ -312,7 +317,7 @@ class ScanEngine:
                 np.arange(self.chunk) < nb)
             state, outs = self._chunk_fn(
                 self.variables, state, jnp.asarray(block), valid, avg,
-                jnp.asarray([self.im_h, self.im_w], jnp.float32))
+                jnp.asarray([hw[0], hw[1]], jnp.float32))
             pending.append((nb, outs))
         all_pos = [np.asarray(o[0][:nb]) for nb, o in pending]
         all_sz = [np.asarray(o[1][:nb]) for nb, o in pending]
