@@ -90,6 +90,43 @@ class TestUSOTDataset:
         assert len(batches) == 2
         assert batches[0]["search"].shape == (4, 255, 255, 3)
 
+    def test_deterministic_across_threaded_loaders(self, synth_dataset):
+        """Two loaders with the same seed must yield identical batches even
+        under threaded workers: every sampling decision (video/track/frame/
+        memory-frame picks AND augmentation) must come from the per-item
+        RNG, never global np.random/random state."""
+        def batches_of(seed, workers):
+            ds = USOTDataset(synth_dataset, seed=seed)
+            ds.cycle_memory = True
+            loader = DataLoader(ds, batch_size=4, num_workers=workers)
+            return list(loader)
+
+        a = batches_of(7, workers=1)
+        b = batches_of(7, workers=3)
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+
+        # and a different seed must give different samples
+        c = batches_of(8, workers=1)
+        assert any(not np.array_equal(a[0][k], c[0][k]) for k in a[0])
+
+    def test_get_instances_reproducible_by_rng(self, synth_dataset):
+        """Same rng seed -> same (path, bbox, memory picks); global RNG
+        state perturbation must not matter."""
+        import random as _random
+
+        sub = SubDataset(synth_dataset, "GOT10K", 0, 2, video_quality=0.4,
+                         far_sample=1)
+        out1 = sub.get_instances(0, cycle_memory=True,
+                                 rng=np.random.default_rng(5))
+        np.random.seed(123)
+        _random.seed(456)
+        out2 = sub.get_instances(0, cycle_memory=True,
+                                 rng=np.random.default_rng(5))
+        assert out1 == out2
+
     def test_subdataset_resampling_low_quality(self, synth_dataset, tmp_path):
         # force low quality: sampler must fall back to neighbor re-sampling
         cfg = synth_dataset

@@ -79,6 +79,74 @@ class TestScanEngine:
         assert err[0] < 130.0, (pos[0], ref_pos[0])  # within a search region
 
 
+class TestMemoryRing:
+    """The capped memory ring must reproduce the reference's unbounded
+    history semantics (ref: usot_tracker.py:222-265) for videos far longer
+    than the buffer: logical segment sampling + min-confidence eviction."""
+
+    def _reference_picks(self, confs, n_queue):
+        """Unbounded-history queue picks, reference arithmetic
+        (usot_tracker.py:236-256 incl. the documented index deviation)."""
+        n_update = n_queue - 3
+        L = len(confs)
+        if L <= 1:
+            return [0] * (n_update + 1)
+        picks = []
+        gap = (L - 1) / n_update
+        for i in range(n_update):
+            start = min(int(int(i * gap) * L), L - 1)
+            end = min(int(int((i + 1) * gap) * L), L - 1)
+            if start >= end:
+                picks.append(start)
+            else:
+                picks.append(int(np.argmax(np.asarray(confs[start:end])))
+                             + start)
+        picks.append(L - 1)
+        return picks
+
+    @pytest.mark.parametrize("n_frames,max_frames", [(30, 8), (100, 16)])
+    def test_capped_ring_matches_unbounded_reference(self, n_frames,
+                                                     max_frames):
+        import jax.numpy as jnp
+        from usot_tpu.tracker.engine import (_assemble_queue_traced,
+                                             _memory_write)
+
+        rng = np.random.default_rng(3)
+        n_queue = 7
+        C = 4
+        # distinct per-frame features so picks are identifiable
+        feats = rng.normal(size=(n_frames, 7, 7, C)).astype(np.float32)
+        confs = rng.random(n_frames).astype(np.float32)
+        confs[0] = 0.9  # init bootstrap confidence
+
+        mem_feat = jnp.zeros((max_frames, 7, 7, C))
+        mem_feat = mem_feat.at[0].set(feats[0])
+        mem_conf = jnp.zeros((max_frames,))
+        mem_conf = mem_conf.at[0].set(confs[0])
+        mem_idx = jnp.full((max_frames,), -1, jnp.int32)
+        mem_idx = mem_idx.at[0].set(0)
+        mem_len = jnp.asarray(1, jnp.int32)
+        init_feats = jnp.zeros((2, 7, 7, C))
+
+        write = jax.jit(_memory_write)
+        assemble = jax.jit(
+            lambda f, c, i, l: _assemble_queue_traced(
+                init_feats, f, c, i, l, n_queue))
+
+        for t in range(1, n_frames):
+            queue = assemble(mem_feat, mem_conf, mem_idx, mem_len)
+            ref = self._reference_picks(confs[:t], n_queue)
+            expected = feats[ref]                       # (n_update+1,...)
+            np.testing.assert_allclose(np.asarray(queue[2:]), expected,
+                                       atol=0, rtol=0,
+                                       err_msg=f"frame {t}")
+            mem_feat, mem_conf, mem_idx, mem_len = write(
+                mem_feat, mem_conf, mem_idx, mem_len,
+                jnp.asarray(feats[t][None]), jnp.asarray(confs[t]))
+
+        assert int(mem_len) == n_frames  # logical length keeps counting
+
+
 class TestBatchScanEngine:
     def test_batched_matches_single(self, setup):
         """Two identical videos tracked in batch must match the single-video

@@ -48,7 +48,67 @@ def prroi_numeric(F, roi, ph, pw, n_samples=120):
     return out
 
 
+def prroi_closed_form(F, roi, ph, pw):
+    """NumPy oracle for one channel: the reference CUDA kernel's exact
+    closed-form bilinear integral per unit cell (ref:
+    prroi_pooling_gpu_impl.cu:72-106 `PrRoIPoolingMatCalculation`,
+    :150-212 `PrRoIPoolingForward`), not numerical quadrature."""
+    H, W = F.shape
+
+    def get(h, w):
+        return F[h, w] if 0 <= h < H and 0 <= w < W else 0.0
+
+    def K(alpha, lim):  # integral of the bilinear tent over [alpha, lim]
+        return lim - 0.5 * lim * lim - alpha + 0.5 * alpha * alpha
+
+    def mat(s_h, s_w, e_h, e_w, y0, x0, y1, x1):
+        kx_s = K(x0 - s_w, x1 - s_w)
+        kx_e = K(e_w - x1, e_w - x0)
+        ky_s = K(y0 - s_h, y1 - s_h)
+        ky_e = K(e_h - y1, e_h - y0)
+        return (get(s_h, s_w) * kx_s * ky_s + get(s_h, e_w) * kx_e * ky_s
+                + get(e_h, s_w) * kx_s * ky_e + get(e_h, e_w) * kx_e * ky_e)
+
+    x1r, y1r, x2r, y2r = roi
+    roi_w = max(x2r - x1r, 0.0)
+    roi_h = max(y2r - y1r, 0.0)
+    bw, bh = roi_w / pw, roi_h / ph
+    out = np.zeros((ph, pw))
+    win_size = max(0.0, bw * bh)
+    if win_size == 0:
+        return out
+    for i in range(ph):
+        for j in range(pw):
+            ws_w, ws_h = x1r + bw * j, y1r + bh * i
+            we_w, we_h = ws_w + bw, ws_h + bh
+            s_w, e_w = int(np.floor(ws_w)), int(np.ceil(we_w))
+            s_h, e_h = int(np.floor(ws_h)), int(np.ceil(we_h))
+            acc = 0.0
+            for w_it in range(s_w, e_w):
+                for h_it in range(s_h, e_h):
+                    acc += mat(h_it, w_it, h_it + 1, w_it + 1,
+                               max(ws_h, float(h_it)),
+                               max(ws_w, float(w_it)),
+                               min(we_h, float(h_it) + 1.0),
+                               min(we_w, float(w_it) + 1.0))
+            out[i, j] = acc / win_size
+    return out
+
+
 class TestPrRoIPool:
+    def test_matches_cuda_closed_form_oracle(self, rng):
+        """Our separable tent-integral einsum vs the reference CUDA
+        kernel's closed form, over random ROIs incl. out-of-bounds."""
+        F = rng.normal(size=(1, 11, 11, 2)).astype(np.float32)
+        rois = [(1.3, 0.7, 6.9, 7.4), (-2.0, -1.5, 4.2, 9.8),
+                (0.0, 0.0, 11.0, 11.0), (3.25, 3.75, 5.5, 4.25)]
+        for roi in rois:
+            out = prroi_pool(jnp.asarray(F), jnp.asarray([[0, *roi]]), 7, 7)
+            for c in range(2):
+                ref = prroi_closed_form(F[0, :, :, c], roi, 7, 7)
+                np.testing.assert_allclose(np.asarray(out)[0, :, :, c], ref,
+                                           atol=1e-5, err_msg=str(roi))
+
     def test_matches_numerical_integration(self, rng):
         F = rng.normal(size=(1, 9, 9, 1)).astype(np.float32)
         roi = (1.3, 0.7, 6.9, 7.4)

@@ -205,23 +205,41 @@ def track_video_scan(model, variables, runner, video, args, engines):
         regions[start_frame] = 1 if is_vot else gt[start_frame]
         if start_frame + 1 >= n:
             break
-        _, pos, sz, score = engine.track_frames(
-            state, padded[start_frame + 1:], im_hw=(im_h, im_w))
-        failure_at = None
-        for i in range(len(pos)):
-            f = start_frame + 1 + i
-            location = np.array([pos[i][0] - sz[i][0] / 2,
-                                 pos[i][1] - sz[i][1] / 2,
-                                 sz[i][0], sz[i][1]], np.float64)
-            if is_vot:
-                if poly_iou(np.asarray(gt[f]), location) > 0:
-                    regions[f] = location
-                else:
+
+        def consume(chunk):
+            """D2H + overlap-check one chunk; returns failure frame or
+            None. Fills `regions` as a side effect."""
+            off, nb, outs = chunk
+            pos = np.asarray(outs[0][:nb])
+            sz = np.asarray(outs[1][:nb])
+            for i in range(nb):
+                f = start_frame + 1 + off + i
+                location = np.array([pos[i][0] - sz[i][0] / 2,
+                                     pos[i][1] - sz[i][1] / 2,
+                                     sz[i][0], sz[i][1]], np.float64)
+                if is_vot and poly_iou(np.asarray(gt[f]), location) <= 0:
                     regions[f] = 2
-                    failure_at = f
-                    break
-            else:
+                    return f
                 regions[f] = location
+            return None
+
+        # Chunked early-exit with one-chunk lookahead: chunk i+1 is
+        # dispatched before chunk i is read back (upload overlaps
+        # compute), so a VOT failure wastes at most one chunk instead of
+        # the whole remaining video (restart protocol:
+        # ref test_usot.py:85-103).
+        failure_at = None
+        pending = None
+        for off, nb, state, outs in engine.iter_chunks(
+                state, padded[start_frame + 1:], im_hw=(im_h, im_w)):
+            if pending is not None:
+                failure_at = consume(pending)
+                pending = None
+                if failure_at is not None:
+                    break
+            pending = (off, nb, outs)
+        if failure_at is None and pending is not None:
+            failure_at = consume(pending)
         if failure_at is None:
             break
         for f in range(failure_at + 1, min(failure_at + 5, n)):

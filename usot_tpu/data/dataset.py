@@ -26,6 +26,11 @@ from usot_tpu.data.augment import MemoryAug, SearchAug, TemplateAug
 sample_random = random.Random()
 
 
+def _rng_choice(rng, seq):
+    """Uniform pick from a sequence with a np.random.Generator."""
+    return seq[int(rng.integers(0, len(seq)))]
+
+
 class USOTDataset:
     def __init__(self, cfg, seed: int | None = None):
         self.template_size = cfg.USOT.TRAIN.TEMPLATE_SIZE
@@ -55,6 +60,9 @@ class USOTDataset:
         # is not thread-safe) and samples stay reproducible per index.
         self.seed = 0 if seed is None else int(seed)
         self.rng = np.random.default_rng(self.seed)
+        # Pick-list shuffles are seeded from the dataset seed so two
+        # loaders built with the same seed iterate identical samples.
+        self._pick_random = random.Random(self.seed)
 
         self.template_aug = TemplateAug()
         self.search_aug = SearchAug()
@@ -67,7 +75,8 @@ class USOTDataset:
         self.num = 0
         for data_name in cfg.USOT.TRAIN.WHICH_USE:
             sub = SubDataset(cfg, data_name, start, self.memory_num,
-                             self.video_quality, self.far_sample)
+                             self.video_quality, self.far_sample,
+                             pick_random=self._pick_random)
             self.train_datas.append(sub)
             start += sub.num
             self.num += sub.num_use
@@ -83,7 +92,7 @@ class USOTDataset:
             p = []
             for subset in self.train_datas:
                 p += subset.pick
-            sample_random.shuffle(p)
+            self._pick_random.shuffle(p)
             pick += p
             m = len(pick)
         self.pick = pick
@@ -234,7 +243,7 @@ class USOTDataset:
         rng = np.random.default_rng((self.seed, int(index)))
         index = self.pick[index % len(self.pick)]
         dataset, index = self._choose_dataset(index)
-        pair_info = dataset.get_instances(index, self.cycle_memory)
+        pair_info = dataset.get_instances(index, self.cycle_memory, rng=rng)
 
         search_image = cv2.imread(pair_info[0])
         search_bbox = self._to_bbox(search_image, pair_info[1])
@@ -284,7 +293,9 @@ class SubDataset:
     and frame sampling (ref: datasets_usot.py:457-827)."""
 
     def __init__(self, cfg, data_name, start, memory_num, video_quality,
-                 far_sample):
+                 far_sample, pick_random=None):
+        self._pick_random = pick_random if pick_random is not None \
+            else sample_random
         self.data_name = data_name
         self.start = start
         info = cfg.USOT.DATASET[data_name]
@@ -310,7 +321,7 @@ class SubDataset:
         pick = []
         m = 0
         while m < self.num_use:
-            sample_random.shuffle(lists)
+            self._pick_random.shuffle(lists)
             pick += lists
             m += self.num
         self.pick = pick[:self.num_use]
@@ -332,17 +343,17 @@ class SubDataset:
         fid = "0" * (8 - len(frame_id)) + frame_id
         return join(self.root, video, f"{fid[-6:]}.{track_id}.x.jpg")
 
-    def _pick_best_frame(self, track_info, quality_fn):
+    def _pick_best_frame(self, track_info, quality_fn, rng):
         frames = [f for f in track_info.keys() if f != "meta"]
         video_len = len(frames)
         freq = track_info["meta"]["bbox_picked_freq"]
         n_cand = int((1.0 / freq) * 3)
-        cands = np.random.choice(video_len, n_cand, replace=True)
+        cands = rng.choice(video_len, n_cand, replace=True)
         qualities = np.array([quality_fn(track_info[frames[c]], video_len)
                               for c in cands])
         return frames, int(cands[int(np.argmax(qualities))])
 
-    def _resample_video(self, video_index):
+    def _resample_video(self, video_index, rng):
         """Quality-driven re-sampling from +-30 nearby videos
         (ref: datasets_usot.py:604-666)."""
         total = len(self.labels)
@@ -351,9 +362,10 @@ class SubDataset:
         max_tries = 20
         best_video, track_id = None, None
         while max_tries:
-            picked = np.random.choice(cand_range, 3, replace=True)
+            picked = rng.choice(cand_range, 3, replace=True)
             names = [self.videos[c] for c in picked]
-            tracks = [random.choice(list(self.labels[n].keys())) for n in names]
+            tracks = [_rng_choice(rng, list(self.labels[n].keys()))
+                      for n in names]
             scores = np.array([
                 self._video_quality_score(
                     self.labels[names[i]][tracks[i]]["meta"]["bbox_picked_freq"],
@@ -365,25 +377,29 @@ class SubDataset:
                 break
             max_tries -= 1
         if best_video is None or track_id is None:
-            best_video = int(np.random.choice(cand_range, 1)[0])
-            track_id = random.choice(
-                list(self.labels[self.videos[best_video]].keys()))
+            best_video = int(rng.choice(cand_range, 1)[0])
+            track_id = _rng_choice(
+                rng, list(self.labels[self.videos[best_video]].keys()))
         return self.videos[int(best_video)], track_id
 
-    def _sample_memory_frames(self, track_info, frames, frame_idx):
+    def _sample_memory_frames(self, track_info, frames, frame_idx, rng):
         frame_id = frames[frame_idx]
         info = track_info[frame_id]
         search_range = np.arange(info[6], info[7] + 1)
-        picked = np.random.choice(search_range,
-                                  self.memory_num + self.far_sample,
-                                  replace=True)
+        picked = rng.choice(search_range,
+                            self.memory_num + self.far_sample,
+                            replace=True)
         interval = np.abs(picked - frame_idx)
         select = interval.argsort()[::-1][: self.memory_num]
         return [frames[int(c)] for c in picked[select]]
 
-    def get_instances(self, index, cycle_memory=False):
+    def get_instances(self, index, cycle_memory=False, rng=None):
+        # rng threads per-item randomness through every sampling decision:
+        # global np.random/random would race under the threaded loader and
+        # break per-index reproducibility (the aug path already does this)
+        rng = rng if rng is not None else np.random.default_rng()
         video_name = self.videos[index]
-        track_id = random.choice(list(self.labels[video_name].keys()))
+        track_id = _rng_choice(rng, list(self.labels[video_name].keys()))
         track_info = self.labels[video_name][track_id]
 
         meta = track_info["meta"]
@@ -391,15 +407,16 @@ class SubDataset:
                                           meta["corner_bbox_freq"])
         if not (score >= self.video_quality
                 and meta["corner_bbox_freq"] < 0.25):
-            video_name, track_id = self._resample_video(index)
+            video_name, track_id = self._resample_video(index, rng)
             track_info = self.labels[video_name][track_id]
 
         if cycle_memory:
             frames, fidx = self._pick_best_frame(
-                track_info, self._long_term_quality)
+                track_info, self._long_term_quality, rng)
         else:
             frames, fidx = self._pick_best_frame(
-                track_info, lambda info, _len: self._short_term_quality(info))
+                track_info, lambda info, _len: self._short_term_quality(info),
+                rng)
 
         frame_id = frames[fidx]
         image_path = self._frame_path(video_name, track_id, frame_id)
@@ -407,7 +424,7 @@ class SubDataset:
         if not cycle_memory:
             return image_path, bbox
 
-        mem_ids = self._sample_memory_frames(track_info, frames, fidx)
+        mem_ids = self._sample_memory_frames(track_info, frames, fidx, rng)
         mem_paths = [self._frame_path(video_name, track_id, f)
                      for f in mem_ids]
         mem_bboxes = [track_info[f][:4] for f in mem_ids]

@@ -37,18 +37,52 @@ class EngineState(NamedTuple):
     init_feats: Any   # (2, 7, 7, 256)
     mem_feat: Any     # (MAX, 7, 7, 256)
     mem_conf: Any     # (MAX,)
-    mem_len: Any      # () int32
+    mem_idx: Any      # (MAX,) int32 logical frame index per slot (-1 empty)
+    mem_len: Any      # () int32 LOGICAL history length (grows unbounded)
 
 
-def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_len,
+def _memory_write(mem_feat, mem_conf, mem_idx, mem_len, feat, score):
+    """Append one frame's pooled feature to the capped memory ring.
+
+    The reference keeps unbounded per-frame history (ref:
+    usot_tracker.py:263-265); a scan carry cannot. While the buffer has
+    room, slot s holds logical frame s (exact parity). Once full, the
+    lowest-confidence slot is evicted (never the newest frame). Queue
+    sampling is argmax-confidence within logical segments, so evicting
+    the running minimum can never remove a frame the reference would
+    have picked — picks stay identical for arbitrarily long videos.
+    """
+    max_frames = mem_feat.shape[0]
+    full = mem_len >= max_frames
+    last_slot = jnp.argmax(mem_idx).astype(jnp.int32)
+    conf_evict = mem_conf.at[last_slot].set(jnp.inf)
+    evict = jnp.argmin(conf_evict).astype(jnp.int32)
+    write_idx = jnp.where(full, evict,
+                          jnp.minimum(mem_len, max_frames - 1))
+    mem_feat = jax.lax.dynamic_update_slice(
+        mem_feat, feat.astype(mem_feat.dtype), (write_idx, 0, 0, 0))
+    mem_conf = mem_conf.at[write_idx].set(score)
+    mem_idx = mem_idx.at[write_idx].set(mem_len)
+    return mem_feat, mem_conf, mem_idx, mem_len + 1
+
+
+def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
                            n_queue: int):
     """In-graph replica of the reference memory-queue sampling
     (ref: usot_tracker.py:222-256, incl. the documented index deviation).
+
+    Segment bounds are computed in LOGICAL frame indices (mem_len counts
+    every tracked frame, even past the buffer cap); slots are matched by
+    their stored logical index, so eviction is transparent here.
     Returns (n_queue, 7, 7, C)."""
-    max_frames = mem_feat.shape[0]
     n_update = n_queue - 3
     L = mem_len.astype(jnp.float32)
-    iota = jnp.arange(max_frames)
+    last_slot = jnp.argmax(mem_idx).astype(jnp.int32)
+
+    def slot_of(logical):
+        eq = mem_idx == logical
+        return jnp.where(jnp.any(eq), jnp.argmax(eq), last_slot) \
+            .astype(jnp.int32)
 
     picks = []
     gap = (L - 1.0) / n_update
@@ -57,12 +91,13 @@ def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_len,
         end = jnp.minimum(jnp.floor(jnp.floor((i + 1) * gap) * L), L - 1.0)
         start_i = start.astype(jnp.int32)
         end_i = end.astype(jnp.int32)
-        masked = jnp.where((iota >= start_i) & (iota < end_i), mem_conf,
-                           -jnp.inf)
-        seg_best = jnp.argmax(masked).astype(jnp.int32)
-        idx = jnp.where(start_i >= end_i, start_i, seg_best)
+        in_seg = (mem_idx >= start_i) & (mem_idx < end_i)
+        masked = jnp.where(in_seg, mem_conf, -jnp.inf)
+        seg_best = jnp.where(jnp.any(in_seg), jnp.argmax(masked),
+                             last_slot).astype(jnp.int32)
+        idx = jnp.where(start_i >= end_i, slot_of(start_i), seg_best)
         picks.append(idx)
-    picks.append(jnp.maximum(mem_len - 1, 0).astype(jnp.int32))
+    picks.append(last_slot)
 
     # mem_len <= 1 fallback: every sampled slot reads frame 0
     picks = [jnp.where(mem_len <= 1, 0, p) for p in picks]
@@ -75,13 +110,17 @@ class ScanEngine:
 
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  im_h: int, im_w: int, max_frames: int = 4096,
-                 chunk: int = 64, unroll: int = 8):
+                 chunk: int = 64, unroll: int = 8, carry_dtype=None):
         self.model = model
         self.variables = variables
         self.p = p
         self.im_h, self.im_w = im_h, im_w
         self.max_frames = max_frames
         self.chunk = chunk
+        # Feature-carry dtype (zf / init anchors / memory ring). bf16 halves
+        # the dominant carry traffic; postprocess stays f32 regardless.
+        self.carry_dtype = carry_dtype if carry_dtype is not None \
+            else model.dtype
         # scan unrolling: this backend taxes per-scan-iteration overhead
         # far more than FLOPs (see PERF_NOTES.md), so merging `unroll`
         # frames into each loop step buys near-linear speedups
@@ -129,8 +168,8 @@ class ScanEngine:
         xf = model.apply(variables, x_crop[None].astype(model.dtype),
                          method=USOTNet.search_features)
         queue = _assemble_queue_traced(carry.init_feats, carry.mem_feat,
-                                       carry.mem_conf, carry.mem_len,
-                                       p.mem_queue_size)
+                                       carry.mem_conf, carry.mem_idx,
+                                       carry.mem_len, p.mem_queue_size)
         cls, bbox, cls_mem = model.apply(
             variables, xf, carry.zf.astype(model.dtype),
             queue.astype(model.dtype), method=USOTNet.track_memory)
@@ -199,14 +238,10 @@ class ScanEngine:
         pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
         feat = model.apply(variables, xf, pool_bbox[None],
                            method=USOTNet.pool_memory_feature)  # (1,7,7,C)
-        feat = feat.astype(carry.mem_feat.dtype)
 
-        write_idx = jnp.minimum(carry.mem_len, self.max_frames - 1)
-        mem_feat = jax.lax.dynamic_update_slice(
-            carry.mem_feat, feat, (write_idx, 0, 0, 0))
-        mem_conf = jax.lax.dynamic_update_slice(
-            carry.mem_conf, best_score[None], (write_idx,))
-        mem_len = jnp.minimum(carry.mem_len + 1, self.max_frames - 1)
+        mem_feat, mem_conf, mem_idx, mem_len = _memory_write(
+            carry.mem_feat, carry.mem_conf, carry.mem_idx, carry.mem_len,
+            feat, best_score)
 
         im_h = im_hw[0].astype(jnp.float32)
         im_w = im_hw[1].astype(jnp.float32)
@@ -216,7 +251,7 @@ class ScanEngine:
                             jnp.clip(new_sz[1], 10.0, im_h)])
 
         new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
-                                mem_feat, mem_conf, mem_len)
+                                mem_feat, mem_conf, mem_idx, mem_len)
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
@@ -237,13 +272,14 @@ class ScanEngine:
 
     # ---- host API ----
 
-    def init_state(self, im, target_pos, target_sz, runner) -> EngineState:
-        """Host-side per-video init: template + memory bootstrap (2 host
-        crops, matching the reference init; ref: usot_tracker.py:22-131)."""
+    def _init_host(self, im, target_pos, target_sz):
+        """Pure host-side init work: the template crop and the two memory
+        bootstrap crops + their pool labels (ref: usot_tracker.py:22-131).
+        No device dispatch — batched engines stack these across videos."""
         p = self.p
         target_pos = np.asarray(target_pos, np.float64)
         target_sz = np.asarray(target_sz, np.float64)
-        self.avg_chans = np.mean(im, axis=(0, 1))
+        avg_chans = np.mean(im, axis=(0, 1))
 
         wc_z = target_sz[0] + p.context_amount * target_sz.sum()
         hc_z = target_sz[1] + p.context_amount * target_sz.sum()
@@ -251,19 +287,17 @@ class ScanEngine:
 
         tf_axis = feature_axis(p.tf_size, p.total_stride, p.exemplar_size)
         z_crop, info = get_subwindow(im, target_pos, p.exemplar_size, s_z,
-                                     self.avg_chans, target_sz,
-                                     need_bbox=True)
+                                     avg_chans, target_sz, need_bbox=True)
         tb = np.clip(np.asarray(info["template_bbox"], np.float32),
                      tf_axis[0], tf_axis[-1])
         tb = (tb - tf_axis[0]) * (2 * (p.tf_size // 2)) / (tf_axis[-1]
                                                            - tf_axis[0])
-        zf = runner.template(np.asarray(z_crop, np.float32), tb)
 
         s_z_f = np.sqrt(wc_z * hc_z)
         scale_z = p.exemplar_size / s_z_f
         s_x = s_z_f + 2 * ((p.instance_size - p.exemplar_size) / 2) / scale_z
         x_crop, info = get_subwindow(im, target_pos, p.instance_size,
-                                     python2round(s_x), self.avg_chans,
+                                     python2round(s_x), avg_chans,
                                      target_sz, need_bbox=True)
         sf_axis = feature_axis(p.sf_size, p.total_stride, p.instance_size)
 
@@ -273,28 +307,68 @@ class ScanEngine:
                         sf_axis[-1] + gap)
             return (b - sf_axis[0]) / gap
 
-        feat0 = runner.extract_memory_feature(
-            x_hwc=np.asarray(x_crop, np.float32),
-            search_bbox=pool_label(info["template_bbox"]))
         x_aug, bbox_aug = _flip_lr(np.asarray(x_crop), info["template_bbox"])
         bbox_aug = [_clip_number(bbox_aug[0], _max=x_aug.shape[0]),
                     _clip_number(bbox_aug[1], _max=x_aug.shape[1]),
                     _clip_number(bbox_aug[2], _max=x_aug.shape[0]),
                     _clip_number(bbox_aug[3], _max=x_aug.shape[1])]
-        feat1 = runner.extract_memory_feature(
-            x_hwc=x_aug.astype(np.float32), search_bbox=pool_label(bbox_aug))
+        return dict(
+            pos=target_pos, sz=target_sz, avg=avg_chans,
+            z_crop=np.asarray(z_crop, np.float32), tb=tb,
+            x_crop=np.asarray(x_crop, np.float32),
+            sb0=pool_label(info["template_bbox"]),
+            x_aug=x_aug.astype(np.float32), sb1=pool_label(bbox_aug))
 
-        mem_feat = jnp.zeros((self.max_frames, 7, 7, 256), jnp.float32)
-        mem_feat = mem_feat.at[0].set(feat0[0])
+    def _assemble_state(self, h, zf, feat0, feat1) -> EngineState:
+        cd = self.carry_dtype
+        mem_feat = jnp.zeros((self.max_frames, 7, 7, 256), cd)
+        mem_feat = mem_feat.at[0].set(feat0[0].astype(cd))
         mem_conf = jnp.zeros((self.max_frames,), jnp.float32)
         mem_conf = mem_conf.at[0].set(0.9)
-        init_feats = jnp.concatenate([feat0, feat1], axis=0)
-
+        mem_idx = jnp.full((self.max_frames,), -1, jnp.int32)
+        mem_idx = mem_idx.at[0].set(0)
+        init_feats = jnp.concatenate([feat0, feat1], axis=0).astype(cd)
         return EngineState(
-            pos=jnp.asarray(target_pos, jnp.float32),
-            sz=jnp.asarray(target_sz, jnp.float32),
-            zf=zf, init_feats=init_feats, mem_feat=mem_feat,
-            mem_conf=mem_conf, mem_len=jnp.asarray(1, jnp.int32))
+            pos=jnp.asarray(h["pos"], jnp.float32),
+            sz=jnp.asarray(h["sz"], jnp.float32),
+            zf=zf.astype(cd), init_feats=init_feats, mem_feat=mem_feat,
+            mem_conf=mem_conf, mem_idx=mem_idx,
+            mem_len=jnp.asarray(1, jnp.int32))
+
+    def init_state(self, im, target_pos, target_sz, runner) -> EngineState:
+        """Host-side per-video init: template + memory bootstrap (2 host
+        crops, matching the reference init; ref: usot_tracker.py:22-131)."""
+        h = self._init_host(im, target_pos, target_sz)
+        self.avg_chans = h["avg"]
+        zf = runner.template(h["z_crop"], h["tb"])
+        feat0 = runner.extract_memory_feature(x_hwc=h["x_crop"],
+                                              search_bbox=h["sb0"])
+        feat1 = runner.extract_memory_feature(x_hwc=h["x_aug"],
+                                              search_bbox=h["sb1"])
+        return self._assemble_state(h, zf, feat0, feat1)
+
+    def iter_chunks(self, state: EngineState, frames_u8: np.ndarray,
+                    im_hw=None):
+        """Stream-track frames chunk by chunk. Yields
+        (frame_offset, n_valid, state, outs) per dispatched chunk with
+        `outs` still on device (defer D2H: upload of chunk i+1 overlaps
+        compute of chunk i). Callers that detect a failure inside a
+        yielded chunk simply stop iterating — at most one wasted chunk
+        (the VOT restart protocol, ref: test_usot.py:85-103)."""
+        n = len(frames_u8)
+        hw = (self.im_h, self.im_w) if im_hw is None else im_hw
+        avg = jnp.asarray(self.avg_chans, jnp.float32)
+        for i in range(0, n, self.chunk):
+            block = frames_u8[i:i + self.chunk]
+            nb = len(block)
+            if nb < self.chunk:
+                pad = np.repeat(block[-1:], self.chunk - nb, axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            valid = jnp.asarray(np.arange(self.chunk) < nb)
+            state, outs = self._chunk_fn(
+                self.variables, state, jnp.asarray(block), valid, avg,
+                jnp.asarray([hw[0], hw[1]], jnp.float32))
+            yield i, nb, state, outs
 
     def track_frames(self, state: EngineState, frames_u8: np.ndarray,
                      im_hw=None):
@@ -303,21 +377,8 @@ class ScanEngine:
 
         im_hw optionally gives the true (h, w) of the video when frames
         are padded onto a larger canvas (resolution-bucketed compiles)."""
-        n = len(frames_u8)
-        hw = (self.im_h, self.im_w) if im_hw is None else im_hw
-        avg = jnp.asarray(self.avg_chans, jnp.float32)
-        pending = []  # defer D2H so host upload of chunk i+1 overlaps
-        for i in range(0, n, self.chunk):
-            block = frames_u8[i:i + self.chunk]
-            nb = len(block)
-            if nb < self.chunk:
-                pad = np.repeat(block[-1:], self.chunk - nb, axis=0)
-                block = np.concatenate([block, pad], axis=0)
-            valid = jnp.asarray(
-                np.arange(self.chunk) < nb)
-            state, outs = self._chunk_fn(
-                self.variables, state, jnp.asarray(block), valid, avg,
-                jnp.asarray([hw[0], hw[1]], jnp.float32))
+        pending = []
+        for _, nb, state, outs in self.iter_chunks(state, frames_u8, im_hw):
             pending.append((nb, outs))
         all_pos = [np.asarray(o[0][:nb]) for nb, o in pending]
         all_sz = [np.asarray(o[1][:nb]) for nb, o in pending]
@@ -378,9 +439,9 @@ class BatchScanEngine(ScanEngine):
         xf = model.apply(variables, x_crop.astype(model.dtype),
                          method=USOTNet.search_features)
         queue = jax.vmap(_assemble_queue_traced,
-                         in_axes=(0, 0, 0, 0, None))(
+                         in_axes=(0, 0, 0, 0, 0, None))(
             carry.init_feats, carry.mem_feat, carry.mem_conf,
-            carry.mem_len, p.mem_queue_size)             # (B, Nq, 7, 7, C)
+            carry.mem_idx, carry.mem_len, p.mem_queue_size)  # (B,Nq,7,7,C)
         cls, bbox, cls_mem = model.apply(
             variables, xf, carry.zf[:, 0].astype(model.dtype),
             queue.astype(model.dtype), method=USOTNet.track_memory_batched)
@@ -450,13 +511,10 @@ class BatchScanEngine(ScanEngine):
         pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
         feat = model.apply(variables, xf, pool_bbox,
                            method=USOTNet.pool_memory_feature)  # (B,7,7,C)
-        feat = feat.astype(carry.mem_feat.dtype)
 
-        write_idx = jnp.minimum(carry.mem_len, self.max_frames - 1)  # (B,)
-        bidx = jnp.arange(B)
-        mem_feat = carry.mem_feat.at[bidx, write_idx].set(feat)
-        mem_conf = carry.mem_conf.at[bidx, write_idx].set(best_score)
-        mem_len = jnp.minimum(carry.mem_len + 1, self.max_frames - 1)
+        mem_feat, mem_conf, mem_idx, mem_len = jax.vmap(_memory_write)(
+            carry.mem_feat, carry.mem_conf, carry.mem_idx, carry.mem_len,
+            feat[:, None], best_score)
 
         im_h = im_hw_b[:, 0]
         im_w = im_hw_b[:, 1]
@@ -466,7 +524,7 @@ class BatchScanEngine(ScanEngine):
                             jnp.clip(new_sz[:, 1], 10.0, im_h)], -1)
 
         new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
-                                mem_feat, mem_conf, mem_len)
+                                mem_feat, mem_conf, mem_idx, mem_len)
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
@@ -494,18 +552,51 @@ class BatchScanEngine(ScanEngine):
         return chunk_fn
 
     def init_batch(self, videos, runner):
-        """videos: list of (first_frame, target_pos, target_sz). Returns
-        (batched EngineState, avg (B,3), im_hw (B,2))."""
-        states, avgs, hws = [], [], []
-        for im, pos, sz in videos:
-            st = self.init_state(im, pos, sz, runner)
-            states.append(st)
-            avgs.append(self.avg_chans)
-            hws.append([im.shape[0], im.shape[1]])
-        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-        self._avg_b = jnp.asarray(np.stack(avgs), jnp.float32)
+        """videos: list of (first_frame, target_pos, target_sz). Returns a
+        batched EngineState.
+
+        The init crops are host cv2 work; the model passes are batched
+        across the whole lockstep group — 2 dispatches total (template for
+        B videos, memory bootstrap for 2B crops) instead of 3 per video
+        (ref init path: usot_tracker.py:22-131)."""
+        hosts = [self._init_host(im, pos, sz) for im, pos, sz in videos]
+        hws = [[im.shape[0], im.shape[1]] for im, _, _ in videos]
+
+        z = np.stack([h["z_crop"] for h in hosts])            # (B, T, T, 3)
+        tb = np.stack([h["tb"] for h in hosts])               # (B, 4)
+        zf_b = runner.template_batch(z, tb)                   # (B, 7, 7, C)
+
+        xs = np.stack([h[k] for h in hosts for k in ("x_crop", "x_aug")])
+        sbs = np.stack([h[k] for h in hosts for k in ("sb0", "sb1")])
+        feats = runner.extract_memory_feature_batch(xs, sbs)  # (2B, 7,7,C)
+
+        # Assemble the batched carry host-side (one upload, not B stacks
+        # of max_frames-sized device rings)
+        B = len(hosts)
+        cd = self.carry_dtype
+        feats_np = np.asarray(feats, np.float32)
+        C = feats_np.shape[-1]
+        mem_feat = np.zeros((B, self.max_frames, 7, 7, C), np.float32)
+        mem_feat[:, 0] = feats_np[0::2]
+        mem_conf = np.zeros((B, self.max_frames), np.float32)
+        mem_conf[:, 0] = 0.9
+        mem_idx = np.full((B, self.max_frames), -1, np.int32)
+        mem_idx[:, 0] = 0
+        init_feats = np.stack([feats_np[0::2], feats_np[1::2]], axis=1)
+
+        self._avg_b = jnp.asarray(np.stack([h["avg"] for h in hosts]),
+                                  jnp.float32)
         self._im_hw_b = jnp.asarray(np.asarray(hws), jnp.float32)
-        return batched
+        return EngineState(
+            pos=jnp.asarray(np.stack([h["pos"] for h in hosts]),
+                            jnp.float32),
+            sz=jnp.asarray(np.stack([h["sz"] for h in hosts]), jnp.float32),
+            zf=jnp.asarray(zf_b, cd)[:, None],  # (B, 1, 7, 7, C)
+            init_feats=jnp.asarray(init_feats, cd),
+            mem_feat=jnp.asarray(mem_feat, cd),
+            mem_conf=jnp.asarray(mem_conf),
+            mem_idx=jnp.asarray(mem_idx),
+            mem_len=jnp.full((B,), 1, jnp.int32))
 
     def track_batch(self, state, frames_u8: np.ndarray,
                     n_valid: np.ndarray):

@@ -80,3 +80,17 @@ class ModelRunner:
             xf = self.search_features(x_hwc)
         sb = jnp.asarray(search_bbox, jnp.float32).reshape(1, 4)
         return self._pool_memory(self.variables, xf, sb)
+
+    # -- batched variants (one dispatch per lockstep group, not per video) --
+
+    def template_batch(self, z_bhwc: np.ndarray, template_bbox_b4):
+        z = jnp.asarray(z_bhwc, jnp.float32)
+        tb = jnp.asarray(template_bbox_b4, jnp.float32)
+        return self._template(self.variables, z, tb)
+
+    def extract_memory_feature_batch(self, x_bhwc: np.ndarray,
+                                     search_bbox_b4):
+        x = jnp.asarray(x_bhwc, jnp.float32)
+        sb = jnp.asarray(search_bbox_b4, jnp.float32)
+        xf = self._search_features(self.variables, x)
+        return self._pool_memory(self.variables, xf, sb)
