@@ -2,9 +2,13 @@
 //
 // C++ replacement for the reference's C/Cython region toolkit
 // (ref: lib/eval_toolkit/pysot/utils/src/region.c — TraX "modern"
-// rasterization path). Exposed via a plain C ABI for ctypes; no Python.h
-// dependency. Semantics verified against a pure-NumPy mirror in
-// usot_tpu/eval/region.py.
+// rasterization path, the default: __flags = 0 at region.c:36, so the
+// REGION_LEGACY_RASTERIZATION branches are dead in the reference eval
+// toolkit). Arithmetic is float32 where the reference's is (coords are
+// stored as float in region_polygon), so overlaps match the compiled
+// reference library bit-for-bit — A/B-fuzzed by tools/ab_region.py.
+// Exposed via a plain C ABI for ctypes; no Python.h dependency; also
+// verified against a pure-NumPy mirror in usot_tpu/eval/region.py.
 //
 // Build: g++ -O2 -shared -fPIC -o libregion.so region.cpp
 
@@ -17,11 +21,11 @@
 namespace {
 
 struct Bounds {
-  double top, bottom, left, right;
+  float top, bottom, left, right;
 };
 
-Bounds compute_bounds(const double* x, const double* y, int n) {
-  Bounds b{DBL_MAX, -DBL_MAX, DBL_MAX, -DBL_MAX};
+Bounds compute_bounds(const float* x, const float* y, int n) {
+  Bounds b{FLT_MAX, -FLT_MAX, FLT_MAX, -FLT_MAX};
   for (int i = 0; i < n; i++) {
     b.top = std::min(b.top, y[i]);
     b.bottom = std::max(b.bottom, y[i]);
@@ -41,21 +45,27 @@ Bounds intersect_bounds(Bounds a, Bounds b) {
                 std::max(a.left, b.left), std::min(a.right, b.right)};
 }
 
-bool bounds_overlap(Bounds a, Bounds b) {
-  return a.left <= b.right && a.right >= b.left && a.top <= b.bottom &&
-         a.bottom >= b.top;
+// ref region.c:671-679: a float bounding-box IoU whose callers only test
+// == 0 — boxes that merely touch at an edge (zero-area intersection)
+// count as non-overlapping, unlike a geometric intersection test.
+float bounds_overlap(Bounds a, Bounds b) {
+  Bounds r = intersect_bounds(a, b);
+  float inter = (r.right - r.left) * (r.bottom - r.top);
+  float denom = (a.right - a.left) * (a.bottom - a.top) +
+                (b.right - b.left) * (b.bottom - b.top) - inter;
+  return std::max(0.0f, inter / denom);
 }
 
 // Scanline fill of a (pre-offset) polygon into mask (may be null: count only).
 // Vertices are rounded to the nearest integer first; a horizontal row fills
 // the inclusive span between successive distinct node x's.
-long rasterize(const std::vector<double>& px, const std::vector<double>& py,
+long rasterize(const std::vector<float>& px, const std::vector<float>& py,
                char* mask, int width, int height) {
   int n = (int)px.size();
-  std::vector<double> x(n), y(n);
-  for (int i = 0; i < n; i++) {
-    x[i] = std::round(px[i]);
-    y[i] = std::round(py[i]);
+  std::vector<float> x(n), y(n);
+  for (int i = 0; i < n; i++) {  // ref round_polygon, region.c:578-590
+    x[i] = (float)std::round((double)px[i]);
+    y[i] = (float)std::round((double)py[i]);
   }
   if (mask) std::memset(mask, 0, (size_t)width * height);
   long sum = 0;
@@ -70,10 +80,11 @@ long rasterize(const std::vector<double>& px, const std::vector<double>& py,
       if ((yi <= row && yj > row) || (yj <= row && yi > row) ||
           (yi < row && yj >= row) || (yj < row && yi >= row) ||
           (yi == yj && yi == row)) {
-        double r = y[j] - y[i];
-        double k = x[j] - x[i];
+        double r = (double)(y[j] - y[i]);  // float sub, then widen (ref)
+        double k = (double)(x[j] - x[i]);
         if (r != 0.0)
-          nodes.push_back((int)(x[i] + (double)(row - y[i]) / r * k));
+          nodes.push_back(
+              (int)((double)x[i] + (double)(row - y[i]) / r * k));
       }
       j = i;
     }
@@ -108,17 +119,19 @@ extern "C" {
 float region_polygon_overlap(const double* p1, int n1, const double* p2,
                              int n2, double b_top, double b_bottom,
                              double b_left, double b_right) {
-  std::vector<double> x1(n1), y1(n1), x2(n2), y2(n2);
+  // Narrow to float32 exactly like the reference's region_polygon storage
+  std::vector<float> x1(n1), y1(n1), x2(n2), y2(n2);
   for (int i = 0; i < n1; i++) {
-    x1[i] = p1[2 * i];
-    y1[i] = p1[2 * i + 1];
+    x1[i] = (float)p1[2 * i];
+    y1[i] = (float)p1[2 * i + 1];
   }
   for (int i = 0; i < n2; i++) {
-    x2[i] = p2[2 * i];
-    y2[i] = p2[2 * i + 1];
+    x2[i] = (float)p2[2 * i];
+    y2[i] = (float)p2[2 * i + 1];
   }
 
-  Bounds limit{b_top, b_bottom, b_left, b_right};
+  Bounds limit{(float)b_top, (float)b_bottom, (float)b_left,
+               (float)b_right};
   Bounds bb1 =
       intersect_bounds(round_bounds(compute_bounds(x1.data(), y1.data(), n1)),
                        limit);
@@ -126,18 +139,18 @@ float region_polygon_overlap(const double* p1, int n1, const double* p2,
       intersect_bounds(round_bounds(compute_bounds(x2.data(), y2.data(), n2)),
                        limit);
 
-  double ox = std::min(bb1.left, bb2.left);
-  double oy = std::min(bb1.top, bb2.top);
+  float ox = std::min(bb1.left, bb2.left);
+  float oy = std::min(bb1.top, bb2.top);
   int width = (int)(std::max(bb1.right, bb2.right) - ox) + 1;
   int height = (int)(std::max(bb1.bottom, bb2.bottom) - oy) + 1;
 
-  double a1 = (bb1.right - bb1.left) * (bb1.bottom - bb1.top);
-  double a2 = (bb2.right - bb2.left) * (bb2.bottom - bb2.top);
+  double a1 = (double)((bb1.right - bb1.left) * (bb1.bottom - bb1.top));
+  double a2 = (double)((bb2.right - bb2.left) * (bb2.bottom - bb2.top));
   if (a1 / a2 < 1e-10 || a2 / a1 < 1e-10 || width < 1 || height < 1) return 0;
-  if (!bounds_overlap(bb1, bb2)) return 0;
+  if (bounds_overlap(bb1, bb2) == 0.0f) return 0;
 
   std::vector<char> m1((size_t)width * height), m2((size_t)width * height);
-  std::vector<double> ox1(n1), oy1(n1), ox2(n2), oy2(n2);
+  std::vector<float> ox1(n1), oy1(n1), ox2(n2), oy2(n2);
   for (int i = 0; i < n1; i++) {
     ox1[i] = x1[i] - ox;
     oy1[i] = y1[i] - oy;

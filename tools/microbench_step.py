@@ -1,0 +1,236 @@
+"""Per-stage microbenchmark of the batched scan-engine frame step.
+
+Each stage runs inside a device-resident lax.scan (xs=None) so the
+measurement is per-iteration device cost, free of dispatch/H2D.
+
+Usage: python tools/microbench_step.py [--batch 32] [--iters 20]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--max-frames", type=int, default=256)
+    ap.add_argument("--dtype", default="bf16")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "var/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from usot_tpu.core.crop import subwindow_jax
+    from usot_tpu.models.usot import USOTNet, build_usot, init_variables
+    from usot_tpu.ops.xcorr import xcorr_depthwise_shift
+    from usot_tpu.tracker.config import TrackerConfig
+    from usot_tpu.tracker.engine import (_assemble_queue_traced,
+                                         _memory_write)
+
+    B = args.batch
+    N_ITER = args.iters
+    MAXF = args.max_frames
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    model = build_usot(mem_size=4, dtype=dtype)
+    cache = "var/bench_variables.msgpack"
+    if os.path.exists(cache):
+        from flax import serialization
+        with open(cache, "rb") as f:
+            variables = serialization.msgpack_restore(f.read())
+    else:
+        variables = init_variables(model, jax.random.PRNGKey(0))
+
+    p = TrackerConfig()
+    p.instance_size = p.small_sz
+    p.renew()
+    p.sf_size = p.score_size
+    S = p.instance_size
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (B, 480, 640 * 3), dtype=np.uint8))
+    avg = jnp.asarray(rng.uniform(90, 140, (B, 3)), jnp.float32)
+    hw = jnp.asarray(np.tile([480.0, 640.0], (B, 1)), jnp.float32)
+    pos = jnp.asarray(rng.uniform(100, 300, (B, 2)), jnp.float32)
+    x_crop = jnp.asarray(rng.normal(size=(B, S, S, 3)), dtype)
+    xf = jnp.asarray(rng.normal(size=(B, p.score_size + 4, p.score_size + 4,
+                                      256)), dtype)
+    zf = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
+    queue = jnp.asarray(rng.normal(size=(B, 7, 7, 7, 256)), dtype)
+    mem_feat = jnp.asarray(rng.normal(size=(B, MAXF, 7, 7, 256)), dtype)
+    mem_conf = jnp.asarray(rng.uniform(0, 1, (B, MAXF)), jnp.float32)
+    mem_idx = jnp.asarray(
+        np.tile(np.arange(MAXF, dtype=np.int32), (B, 1)))
+    mem_len = jnp.full((B,), 40, jnp.int32)
+    init_feats = jnp.asarray(rng.normal(size=(B, 2, 7, 7, 256)), dtype)
+    feat = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
+    score_b = jnp.asarray(rng.uniform(0, 1, (B,)), jnp.float32)
+
+    # Each fn takes (inputs..., carry_scalar) and returns a new scalar so
+    # the scan has a loop-carried dependency (prevents hoisting/DCE).
+    def f_crop(c):
+        pos_t = pos + c  # depend on carry so each iter recomputes
+        crop = jax.vmap(lambda im, px, py, av, h: subwindow_jax(
+            im, px, py, jnp.float32(255.0) + c, av, S,
+            valid_h=h[0], valid_w=h[1], channels=3))
+        out = crop(frames, pos_t[:, 0], pos_t[:, 1], avg, hw)
+        return jnp.sum(out[:, 0, 0, 0])
+
+    def f_backbone(c):
+        x = x_crop + c.astype(dtype)
+        out = model.apply(variables, x, method=USOTNet.search_features)
+        return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+    def f_offline(c):
+        xf_t = xf + c.astype(dtype)
+        cls, bbox = model.apply(variables, xf_t, zf,
+                                method=USOTNet.track_offline)
+        return jnp.sum(cls[:, 0, 0]).astype(jnp.float32)
+
+    def f_memhead(c):
+        xf_t = xf + c.astype(dtype)
+        cls, bbox, cls_mem = model.apply(
+            variables, xf_t, zf, queue,
+            method=USOTNet.track_memory_batched)
+        return (jnp.sum(cls[:, 0, 0]) + jnp.sum(cls_mem[:, 0, 0])) \
+            .astype(jnp.float32)
+
+    def f_queue(c):
+        ml = mem_len + c.astype(jnp.int32)
+        q = jax.vmap(_assemble_queue_traced, in_axes=(0, 0, 0, 0, 0, None))(
+            init_feats, mem_feat, mem_conf, mem_idx, ml, 7)
+        return jnp.sum(q[:, 0, 0, 0, :8]).astype(jnp.float32)
+
+    def f_memwrite(c):
+        sc = score_b + c
+        mf, mc, mi, ml = jax.vmap(_memory_write)(
+            mem_feat, mem_conf, mem_idx, mem_len, feat[:, None], sc)
+        return jnp.sum(mc) + jnp.sum(mf[:, 0, 0, 0, :8]).astype(jnp.float32)
+
+    def f_pool(c):
+        xf_t = xf + c.astype(dtype)
+        bb = jnp.tile(jnp.asarray([[2.0, 2.0, 20.0, 20.0]], jnp.float32),
+                      (B, 1)) + c
+        out = model.apply(variables, xf_t, bb,
+                          method=USOTNet.pool_memory_feature)
+        return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+    def f_xcorr(c):
+        x = xf + c.astype(dtype)
+        k = zf + c.astype(dtype)
+        out = xcorr_depthwise_shift(x, k)
+        return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+    def run(name, f, *args):
+        # big operands ride as jit ARGUMENTS (baking them in as closure
+        # constants overflows the remote-compile request body)
+        jitted = jax.jit(lambda *a: jax.lax.scan(
+            lambda c, _: (f(c * 1e-9, *a), None), jnp.float32(0.0), None,
+            length=N_ITER)[0])
+        out = jitted(*args)
+        np.asarray(out)  # compile + sync
+        reps = []
+        for _ in range(3):
+            t = time.perf_counter()
+            np.asarray(jitted(*args))
+            reps.append((time.perf_counter() - t) / N_ITER * 1e3)
+        print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
+
+    # ---- full frame step, both engine impls, no chunk machinery ----
+    from usot_tpu.tracker.engine import BatchScanEngine, EngineState
+    engine = BatchScanEngine(model, variables, p, 480, 640, batch=B,
+                             max_frames=MAXF, chunk=8)
+    sz_b = jnp.full((B, 2), 60.0, jnp.float32)
+    state = EngineState(pos=pos, sz=sz_b, zf=zf[:, None],
+                        init_feats=init_feats, mem_feat=mem_feat,
+                        mem_conf=mem_conf, mem_idx=mem_idx, mem_len=mem_len)
+
+    def f_full_native(c, st0):
+        st = st0._replace(pos=st0.pos + c)
+        new, out = engine._frame_step_batched(variables, avg, hw, st, frames)
+        return jnp.sum(out[0]) * 1e-9
+
+    vstep = jax.vmap(engine._frame_step, in_axes=(None, 0, 0, 0, 0))
+
+    def f_full_vmap(c, st0):
+        st = st0._replace(pos=st0.pos + c)
+        new, out = vstep(variables, avg, hw, st, frames)
+        return jnp.sum(out[0]) * 1e-9
+
+    run("crop (u8 flat->255)", f_crop)
+    run("backbone+neck", f_backbone)
+    run("offline head", f_offline)
+    run("offline+memory head", f_memhead)
+    run("queue assembly", f_queue)
+    run("memory write", f_memwrite)
+    run("prpool feature", f_pool)
+    run("xcorr shift (1 pair 7x7)", f_xcorr)
+    run("FULL STEP (native batched)", f_full_native, state)
+    run("FULL STEP (vmap)", f_full_vmap, state)
+
+    # ---- chunk-like scans: isolate xs-streaming / valid-select cost ----
+    T = 8
+    frames_chunk = jnp.asarray(rng.integers(
+        0, 255, (T, B, 480, 640 * 3), dtype=np.uint8))
+    valid_chunk = jnp.ones((T, B), bool)
+
+    def scan_chunk(with_select):
+        def chunk(st0, fr, vd):
+            def body(carry, xs):
+                frame, is_valid = xs
+                new, out = vstep(variables, avg, hw, carry, frame)
+                if with_select:
+                    keep = lambda n, o: jnp.where(
+                        is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
+                    new = jax.tree.map(keep, new, carry)
+                return new, out
+            return jax.lax.scan(body, st0, (fr, vd))
+        return chunk
+
+    for name, ws in (("chunk scan, no select", False),
+                     ("chunk scan, with select", True)):
+        jitted = jax.jit(scan_chunk(ws))
+        st2, outs = jitted(state, frames_chunk, valid_chunk)
+        np.asarray(outs[0][0, 0])
+        reps = []
+        for _ in range(3):
+            t = time.perf_counter()
+            st2, outs = jitted(state, frames_chunk, valid_chunk)
+            np.asarray(outs[0][0, 0])
+            reps.append((time.perf_counter() - t) / T * 1e3)
+        print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
+
+    # ---- the engine's real _chunk_fn, with vs without donation ----
+    raw_chunk = engine._make_chunk_fn()
+    for name, jitted, donate in (
+            ("engine chunk_fn, no donate", jax.jit(raw_chunk), False),
+            ("engine chunk_fn, donate", jax.jit(raw_chunk,
+                                                donate_argnums=(1,)), True)):
+        def fresh():
+            return jax.tree.map(lambda x: x + 0, state) if donate else state
+        st2, outs = jitted(variables, fresh(), frames_chunk, valid_chunk,
+                           avg, hw)
+        np.asarray(outs[0][0, 0])
+        reps = []
+        for _ in range(3):
+            st_in = fresh()
+            np.asarray(st_in.pos[0, 0])  # materialize copy outside timing
+            t = time.perf_counter()
+            st2, outs = jitted(variables, st_in, frames_chunk, valid_chunk,
+                               avg, hw)
+            np.asarray(outs[0][0, 0])
+            reps.append((time.perf_counter() - t) / T * 1e3)
+        print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,8 +107,15 @@ def get_subwindow(im, pos, model_sz, original_sz, avg_chans, target_sz=None,
 # ---------------------------------------------------------------------------
 
 def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int,
-                  valid_h=None, valid_w=None):
-    """Bilinear gather-resize crop of `im` (H, W, C float32).
+                  valid_h=None, valid_w=None, channels: int | None = None):
+    """Bilinear gather-resize crop of `im`. Returns (model_sz, model_sz, C)
+    float32.
+
+    im is (H, W, C) — or, on the fast path, channel-flattened (H, W*C)
+    with `channels=C`. The flat form matters on TPU: a (H, W, 3) array's
+    minor dim pads 3 -> 128 lanes in the tiled HBM layout (a 42x memory
+    and transfer blowup), while (H, W*3) tiles exactly. uint8 input is
+    fine — gathered rows are cast to f32 after the (cheap) row gather.
 
     pos_{x,y} and original_sz are traced scalars (float32); model_sz is a
     static int. Geometry matches `get_subwindow`: the source window is the
@@ -121,7 +128,13 @@ def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int,
     sub-rectangle of the canvas (batched multi-resolution tracking pads
     frames to a common canvas).
     """
-    H, W = im.shape[0], im.shape[1]
+    if im.ndim == 2:
+        if channels is None:
+            raise ValueError("flat (H, W*C) input requires channels=")
+        C = channels
+        H, W = im.shape[0], im.shape[1] // C
+    else:
+        H, W, C = im.shape
     vh = H if valid_h is None else valid_h
     vw = W if valid_w is None else valid_w
     sz = jnp.round(original_sz)
@@ -146,12 +159,15 @@ def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int,
     x0, x1, fx, vx0, vx1 = sample_axis(src_x, W, vw)
     y0, y1, fy, vy0, vy1 = sample_axis(src_y, H, vh)
 
-    avg = jnp.asarray(avg_chans, dtype=im.dtype).reshape(1, 1, -1)
+    avg = jnp.asarray(avg_chans, jnp.float32).reshape(1, 1, -1)
 
     def gather_rows(yi, vy):
         # (model_sz, W, C) rows with invalid rows replaced by avg
-        rows = im[yi, :, :]
-        return jnp.where(vy[:, None, None], rows, avg)
+        if im.ndim == 2:
+            rows = im[yi, :].reshape(model_sz, W, C)
+        else:
+            rows = im[yi, :, :]
+        return jnp.where(vy[:, None, None], rows.astype(jnp.float32), avg)
 
     r0 = gather_rows(y0, vy0)
     r1 = gather_rows(y1, vy1)

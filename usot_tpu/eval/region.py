@@ -86,34 +86,50 @@ def _rasterize_np(x, y, width, height):
 
 
 def _overlap_np(p1, p2, bounds):
-    x1, y1 = p1[0::2], p1[1::2]
-    x2, y2 = p2[0::2], p2[1::2]
-    b_top, b_bottom, b_left, b_right = bounds
+    # float32 throughout, matching the reference's region_polygon storage
+    # (ref: src/region.c — coords are float; see native/region/region.cpp)
+    x1 = np.asarray(p1[0::2], np.float32)
+    y1 = np.asarray(p1[1::2], np.float32)
+    x2 = np.asarray(p2[0::2], np.float32)
+    y2 = np.asarray(p2[1::2], np.float32)
+    f32 = np.float32
+    b_top, b_bottom, b_left, b_right = [f32(b) for b in bounds]
 
     def rb(x, y):
-        return (max(np.floor(y.min()), b_top), min(np.ceil(y.max()), b_bottom),
-                max(np.floor(x.min()), b_left), min(np.ceil(x.max()), b_right))
+        return (max(f32(np.floor(y.min())), b_top),
+                min(f32(np.ceil(y.max())), b_bottom),
+                max(f32(np.floor(x.min())), b_left),
+                min(f32(np.ceil(x.max())), b_right))
 
-    t1, bo1, l1, r1 = rb(np.asarray(x1), np.asarray(y1))
-    t2, bo2, l2, r2 = rb(np.asarray(x2), np.asarray(y2))
+    t1, bo1, l1, r1 = rb(x1, y1)
+    t2, bo2, l2, r2 = rb(x2, y2)
 
     ox = min(l1, l2)
     oy = min(t1, t2)
     width = int(max(r1, r2) - ox) + 1
     height = int(max(bo1, bo2) - oy) + 1
-    a1 = (r1 - l1) * (bo1 - t1)
-    a2 = (r2 - l2) * (bo2 - t2)
-    if a2 == 0 or a1 == 0:
-        if a1 == a2:
-            return 0.0
-    if a1 / max(a2, 1e-300) < 1e-10 or a2 / max(a1, 1e-300) < 1e-10 \
-            or width < 1 or height < 1:
+    a1 = float((r1 - l1) * (bo1 - t1))
+    a2 = float((r2 - l2) * (bo2 - t2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # IEEE semantics like the reference: inf/nan comparisons resolve
+        # the degenerate-area branches (ref region.c:884-895)
+        g1 = np.float64(a1) / np.float64(a2) < 1e-10
+        g2 = np.float64(a2) / np.float64(a1) < 1e-10
+    if g1 or g2 or width < 1 or height < 1:
         return 0.0
-    if not (l1 <= r2 and r1 >= l2 and t1 <= bo2 and bo1 >= t2):
+    # float bbox-IoU == 0 test (edge-touching boxes count as disjoint),
+    # ref region.c:671-679
+    it = max(t1, t2)
+    ib = min(bo1, bo2)
+    il = max(l1, l2)
+    ir = min(r1, r2)
+    inter = f32((ir - il) * (ib - it))
+    denom = f32((r1 - l1) * (bo1 - t1) + (r2 - l2) * (bo2 - t2) - inter)
+    if max(np.float32(0.0), inter / denom) == 0.0:
         return 0.0
 
-    m1 = _rasterize_np(np.asarray(x1) - ox, np.asarray(y1) - oy, width, height)
-    m2 = _rasterize_np(np.asarray(x2) - ox, np.asarray(y2) - oy, width, height)
+    m1 = _rasterize_np(x1 - ox, y1 - oy, width, height)
+    m2 = _rasterize_np(x2 - ox, y2 - oy, width, height)
     inter = int(np.sum((m1 & m2) > 0))
     union = int(np.sum((m1 | m2) > 0))
     return 0.0 if union == 0 else inter / union

@@ -112,7 +112,12 @@ class ScanEngine:
                  im_h: int, im_w: int, max_frames: int = 4096,
                  chunk: int = 64, unroll: int = 8, carry_dtype=None):
         self.model = model
-        self.variables = variables
+        # Commit variables to the device ONCE. Checkpoint loaders hand over
+        # host numpy trees; passing those to the jitted chunk fn re-uploads
+        # ~100 MB of parameters on EVERY dispatch (through this runtime's
+        # ~25 MB/s tunnel that alone is ~4 s/chunk — it was the dominant
+        # cost of the round-1 engine, dwarfing the actual compute).
+        self.variables = jax.device_put(variables)
         self.p = p
         self.im_h, self.im_w = im_h, im_w
         self.max_frames = max_frames
@@ -145,9 +150,12 @@ class ScanEngine:
 
     def _frame_step(self, variables, avg, im_hw, carry: EngineState,
                     frame_u8):
-        """One tracked frame. avg: (3,); im_hw: (2,) [h, w] valid region
-        of the (possibly padded) frame canvas — traced so batched engines
-        can mix video resolutions on one canvas."""
+        """One tracked frame. frame_u8: (H, W*3) channel-flat uint8 — the
+        flat layout tiles exactly on TPU ((H, W, 3) would pad the minor
+        dim 3 -> 128 lanes: 42x HBM + transfer blowup). avg: (3,);
+        im_hw: (2,) [h, w] valid region of the (possibly padded) frame
+        canvas — traced so batched engines can mix video resolutions on
+        one canvas."""
         p = self.p
         c = self._consts
         model = self.model
@@ -160,10 +168,10 @@ class ScanEngine:
         d_search = (p.instance_size - p.exemplar_size) / 2
         s_x = jnp.round(s_z + 2 * d_search / scale_z)
 
-        frame = frame_u8.astype(jnp.float32)
-        x_crop = subwindow_jax(frame, pos[0], pos[1], s_x, avg,
+        x_crop = subwindow_jax(frame_u8, pos[0], pos[1], s_x, avg,
                                p.instance_size,
-                               valid_h=im_hw[0], valid_w=im_hw[1])
+                               valid_h=im_hw[0], valid_w=im_hw[1],
+                               channels=3)
 
         xf = model.apply(variables, x_crop[None].astype(model.dtype),
                          method=USOTNet.search_features)
@@ -364,6 +372,8 @@ class ScanEngine:
             if nb < self.chunk:
                 pad = np.repeat(block[-1:], self.chunk - nb, axis=0)
                 block = np.concatenate([block, pad], axis=0)
+            # channel-flat (T, H, W*3): exact TPU tiling (see subwindow_jax)
+            block = np.reshape(block, block.shape[:2] + (-1,))
             valid = jnp.asarray(np.arange(self.chunk) < nb)
             state, outs = self._chunk_fn(
                 self.variables, state, jnp.asarray(block), valid, avg,
@@ -432,8 +442,8 @@ class BatchScanEngine(ScanEngine):
         crop = jax.vmap(
             lambda im, px, py, ssx, av, hw: subwindow_jax(
                 im, px, py, ssx, av, p.instance_size,
-                valid_h=hw[0], valid_w=hw[1]))
-        x_crop = crop(frames.astype(jnp.float32), pos[:, 0], pos[:, 1],
+                valid_h=hw[0], valid_w=hw[1], channels=3))
+        x_crop = crop(frames, pos[:, 0], pos[:, 1],
                       s_x, avg_b, im_hw_b)               # (B, S, S, 3)
 
         xf = model.apply(variables, x_crop.astype(model.dtype),
@@ -598,14 +608,11 @@ class BatchScanEngine(ScanEngine):
             mem_idx=jnp.asarray(mem_idx),
             mem_len=jnp.full((B,), 1, jnp.int32))
 
-    def track_batch(self, state, frames_u8: np.ndarray,
-                    n_valid: np.ndarray):
-        """frames_u8: (B, N, H, W, 3) padded canvas frames; n_valid: (B,)
-        true frame counts. Returns (state, pos (B,N,2), sz (B,N,2),
-        score (B,N))."""
+    def _prep_chunks(self, frames_u8: np.ndarray, n_valid: np.ndarray):
+        """Host-side chunking of (B, N, H, W, 3) into flat (T, B, H, W*3)
+        uint8 blocks + (T, B) validity masks. Yields (nb, block, valid)."""
         b, n = frames_u8.shape[:2]
         assert b == self.batch
-        pending = []  # defer D2H so host upload of chunk i+1 overlaps
         for i in range(0, n, self.chunk):
             block = frames_u8[:, i:i + self.chunk]
             nb = block.shape[1]
@@ -615,15 +622,56 @@ class BatchScanEngine(ScanEngine):
             # (T, B) validity
             t_idx = np.arange(self.chunk)[:, None] + i
             valid = jnp.asarray(t_idx < n_valid[None, :])
-            block_tb = jnp.asarray(np.swapaxes(block, 0, 1))  # (T,B,H,W,3)
-            state, outs = self._chunk_fn(
-                self.variables, state, block_tb, valid, self._avg_b,
-                self._im_hw_b)
-            pending.append((nb, outs))
+            # (T, B, H, W*3) channel-flat: exact TPU tiling
+            block_tb = np.swapaxes(block, 0, 1)
+            block_tb = np.reshape(np.ascontiguousarray(block_tb),
+                                  block_tb.shape[:3] + (-1,))
+            yield nb, block_tb, valid
+
+    def _collate(self, pending):
         all_pos = [np.asarray(o[0][:nb]) for nb, o in pending]
         all_sz = [np.asarray(o[1][:nb]) for nb, o in pending]
         all_score = [np.asarray(o[2][:nb]) for nb, o in pending]
         pos = np.concatenate(all_pos).transpose(1, 0, 2)
         sz = np.concatenate(all_sz).transpose(1, 0, 2)
         score = np.concatenate(all_score).transpose(1, 0)
-        return state, pos, sz, score
+        return pos, sz, score
+
+    def track_batch(self, state, frames_u8: np.ndarray,
+                    n_valid: np.ndarray):
+        """frames_u8: (B, N, H, W, 3) padded canvas frames; n_valid: (B,)
+        true frame counts. Returns (state, pos (B,N,2), sz (B,N,2),
+        score (B,N))."""
+        pending = []  # defer D2H so host upload of chunk i+1 overlaps
+        for nb, block_tb, valid in self._prep_chunks(frames_u8, n_valid):
+            state, outs = self._chunk_fn(
+                self.variables, state, jnp.asarray(block_tb), valid,
+                self._avg_b, self._im_hw_b)
+            pending.append((nb, outs))
+        return (state,) + self._collate(pending)
+
+    def stage_frames(self, frames_u8: np.ndarray, n_valid: np.ndarray):
+        """Pre-upload every chunk of a (B, N, H, W, 3) frame tensor into
+        device HBM (flat layout); returns an opaque list for
+        `track_staged`. Rationale: a production host feeds the chip at
+        PCIe/NIC rates (GB/s), but this dev environment reaches the chip
+        through a ~25 MB/s tunnel — staging first lets a benchmark measure
+        chip tracking throughput rather than tunnel bandwidth."""
+        staged = [(nb, jax.device_put(block), valid)
+                  for nb, block, valid in self._prep_chunks(frames_u8,
+                                                            n_valid)]
+        if staged:  # force uploads to complete (block_until_ready is
+            # a no-op through the tunnel runtime; a tiny D2H is a true sync)
+            np.asarray(staged[-1][1][0, 0, 0, :1])
+        return staged
+
+    def track_staged(self, state, staged):
+        """Track pre-staged chunks (see stage_frames). Same returns as
+        track_batch."""
+        pending = []
+        for nb, block_dev, valid in staged:
+            state, outs = self._chunk_fn(
+                self.variables, state, block_dev, valid, self._avg_b,
+                self._im_hw_b)
+            pending.append((nb, outs))
+        return (state,) + self._collate(pending)

@@ -17,7 +17,9 @@ class ModelRunner:
 
     def __init__(self, model: USOTNet, variables, mem_queue_size: int = 7):
         self.model = model
-        self.variables = dict(variables)
+        # Commit once to device: host-numpy variable trees would otherwise
+        # re-upload the full parameter set on every jitted call.
+        self.variables = jax.device_put(dict(variables))
         self.mem_queue_size = mem_queue_size
 
         @jax.jit
