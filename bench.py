@@ -73,7 +73,8 @@ def main():
 
     log("bench: building model")
     model = build_usot(mem_size=4,
-                       dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+                       dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+                       fused_xcorr=jax.default_backend() == "tpu")
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt and os.path.exists(ckpt):
         from usot_tpu.train.checkpoint import load_variables

@@ -145,3 +145,52 @@ class TestVOTLT:
         fs = list(out["USOT"]["f1"].values())[0]
         # predictions == gt -> precision 1 at permissive thresholds
         assert np.nanmax(fs) > 0.8
+
+
+class TestReportingPolish:
+    """Round-2 parity polish: sorted/video-level tables, attr grouping,
+    EAO attribute radar (ref: ope_benchmark.py:124-195, ar_benchmark.py,
+    visualization/draw_eao.py)."""
+
+    def test_ope_show_video_level(self, capsys):
+        from usot_tpu.eval.benchmarks import OPEBenchmark
+
+        ope = OPEBenchmark.__new__(OPEBenchmark)  # show_result is static-ish
+        success = {"trk": {"vid1": np.linspace(1, 0, 21),
+                           "vid2": np.linspace(0.5, 0, 21)}}
+        precision = {"trk": {"vid1": np.linspace(0, 1, 51),
+                             "vid2": np.linspace(0, 0.4, 51)}}
+        ope.show_result(success, precision, show_video_level=True)
+        out = capsys.readouterr().out
+        assert "Tracker name" in out and "Video name" in out
+        assert "vid1" in out and "vid2" in out
+        assert "\033[31m" in out  # sub-threshold cells highlighted red
+
+    def test_attr_grouping(self, tmp_path):
+        import json
+
+        from usot_tpu.eval.datasets import _build_attr
+
+        class V:
+            def __init__(self, attr):
+                self.attr = attr
+
+        vids = {"a": V(["IV", "OCC"]), "b": V(["IV"]), "c": V(None)}
+        attr = _build_attr(vids)
+        assert attr["ALL"] == ["a", "b", "c"]
+        assert attr["IV"] == ["a", "b"] and attr["OCC"] == ["a"]
+
+    def test_eao_radar(self, tmp_path):
+        from usot_tpu.eval.visualization import draw_eao
+
+        result = {"trk1": {"all": 0.3, "camera_motion": 0.25,
+                           "occlusion": 0.2, "empty": 0.31},
+                  "trk2": {"all": 0.2, "camera_motion": 0.22,
+                           "occlusion": 0.1, "empty": 0.15}}
+        out = tmp_path / "radar.png"
+        draw_eao(result, str(out))
+        assert out.exists() and out.stat().st_size > 0
+        # bar-chart fallback for 'all'-only results
+        out2 = tmp_path / "bar.png"
+        draw_eao({"t": {"all": 0.3}}, str(out2))
+        assert out2.exists()

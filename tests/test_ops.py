@@ -231,3 +231,52 @@ class TestXcorrPallas:
             ref = xcorr_depthwise_ref(x, k)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=1e-4)
+
+
+class TestFusedGroupDW:
+    """The fused multi-kernel GroupDW path (Pallas, interpret mode on CPU)
+    vs the reference repeat+pairwise route, through the REAL head module
+    so weight folding and reshapes are covered."""
+
+    def test_groupdw_fused_matches_naive(self, rng):
+        from usot_tpu.ops.pallas.xcorr_kernel import xcorr_groupdw_pallas
+        from usot_tpu.ops.xcorr import xcorr_depthwise
+
+        B, M, C = 2, 3, 128
+        shapes = [((B, 9, 9, C), (B, M, 5, 5, C)),
+                  ((B, 7, 9, C), (B, M, 3, 5, C)),
+                  ((B, 9, 7, C), (B, M, 5, 3, C))]
+        xs = [jnp.asarray(rng.normal(size=s[0]), jnp.float32)
+              for s in shapes]
+        ks = [jnp.asarray(rng.normal(size=s[1]), jnp.float32)
+              for s in shapes]
+        ref = 0.0
+        for x, k in zip(xs, ks):
+            rep = jnp.repeat(x[:, None], M, axis=1).reshape(
+                (B * M,) + x.shape[1:])
+            kf = k.reshape((B * M,) + k.shape[2:])
+            ref = ref + xcorr_depthwise(rep, kf).reshape(B, M, 5, 5, C)
+        out = xcorr_groupdw_pallas(xs, ks, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_head_fused_flag_parity(self, rng):
+        """memory_cls + offline through USOTNet with fused_xcorr on/off."""
+        import jax
+        from usot_tpu.models.usot import USOTNet
+
+        kw = dict(mem_size=2, search_size=95, score_size=5, sf_size=11)
+        base = USOTNet(**kw)
+        fused = USOTNet(fused_xcorr=True, **kw)
+        xf = jnp.asarray(rng.normal(size=(2, 11, 11, 256)), jnp.float32)
+        zf = jnp.asarray(rng.normal(size=(2, 7, 7, 256)), jnp.float32)
+        mem = jnp.asarray(rng.normal(size=(2, 3, 7, 7, 256)), jnp.float32)
+        variables = base.init(jax.random.PRNGKey(0), xf, zf, mem,
+                              method=USOTNet.track_memory_batched)
+        outs_b = base.apply(variables, xf, zf, mem,
+                            method=USOTNet.track_memory_batched)
+        outs_f = fused.apply(variables, xf, zf, mem,
+                             method=USOTNet.track_memory_batched)
+        for a, b in zip(outs_b, outs_f):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)

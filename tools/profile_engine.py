@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--max-frames", type=int, default=256)
     ap.add_argument("--impl", default="vmap", choices=["vmap", "native"])
+    ap.add_argument("--fused", action="store_true",
+                    help="fused Pallas GroupDW correlation in the heads")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -77,7 +79,8 @@ def run_engine(args, big):
 
     use_bf16 = args.dtype == "bf16"
     model = build_usot(mem_size=4,
-                       dtype=jnp.bfloat16 if use_bf16 else jnp.float32)
+                       dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+                       fused_xcorr=args.fused)
     import os
     cache = "var/bench_variables.msgpack"
     if os.path.exists(cache):

@@ -20,33 +20,67 @@ def parse_args(argv=None):
     parser.add_argument("--tracker_result_dir", type=str,
                         help="tracker result root")
     parser.add_argument("--trackers", nargs="+")
-    parser.add_argument("--vis", dest="vis", action="store_true")
+    parser.add_argument("--vis", dest="vis", action="store_true",
+                        help="write plots (per-attribute success/precision "
+                        "curves, EAO attribute radar, F1 curves)")
+    parser.add_argument("--show_video_level", action="store_true",
+                        help="per-video result table (ref eval.py flag)")
+    parser.add_argument("--plot_dir", default="var/plots",
+                        help="where --vis writes figures")
     return parser.parse_args(argv)
 
 
-def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers):
+def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers,
+             vis=False, show_video_level=False, plot_dir="var/plots"):
+    import os
+
     dataset = create_dataset(dataset_name, dataset_dir)
     dataset.set_tracker(tracker_result_dir, trackers)
+    if vis:
+        os.makedirs(plot_dir, exist_ok=True)
 
     if "VOT" in dataset_name and "LT" not in dataset_name:
         ar = AccuracyRobustnessBenchmark(dataset)
         ar_result = ar.eval(trackers)
-        eao = EAOBenchmark(dataset)
+        # per-attribute EAO when plotting the radar, 'all' otherwise
+        tags = tuple(dataset.tags) if vis else ("all",)
+        eao = EAOBenchmark(dataset, tags=tags)
         eao_result = eao.eval(trackers)
-        ar.show_result(ar_result, eao_result)
+        ar.show_result(ar_result, eao_result,
+                       show_video_level=show_video_level)
+        if vis:
+            from usot_tpu.eval.visualization import draw_eao
+            draw_eao(eao_result,
+                     os.path.join(plot_dir, f"{dataset_name}_eao.png"))
         return {"ar": ar_result, "eao": eao_result}
 
     if "LT" in dataset_name:
         f1 = F1Benchmark(dataset)
         f1_result = f1.eval(trackers)
         f1.show_result(f1_result)
+        if vis:
+            from usot_tpu.eval.visualization import draw_f1
+            draw_f1(f1_result,
+                    os.path.join(plot_dir, f"{dataset_name}_f1.png"))
         return {"f1": f1_result}
 
     ope = OPEBenchmark(dataset)
     success = ope.eval_success(trackers)
     precision = ope.eval_precision(trackers)
     norm_precision = ope.eval_norm_precision(trackers)
-    ope.show_result(success, precision, norm_precision)
+    ope.show_result(success, precision, norm_precision,
+                    show_video_level=show_video_level)
+    if vis:
+        from usot_tpu.eval.visualization import draw_success_precision
+        for attr, videos in getattr(dataset, "attr",
+                                    {"ALL": None}).items():
+            safe = attr.replace(" ", "_")
+            draw_success_precision(
+                success, name=dataset_name, videos=videos, attr=attr,
+                precision_ret=precision,
+                norm_precision_ret=norm_precision,
+                out_path=os.path.join(plot_dir,
+                                      f"{dataset_name}_{safe}.png"))
     return {"success": success, "precision": precision,
             "norm_precision": norm_precision}
 
@@ -54,7 +88,9 @@ def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers):
 def main(argv=None):
     args = parse_args(argv)
     evaluate(args.dataset, args.dataset_dir, args.tracker_result_dir,
-             args.trackers)
+             args.trackers, vis=args.vis,
+             show_video_level=args.show_video_level,
+             plot_dir=args.plot_dir)
 
 
 if __name__ == "__main__":

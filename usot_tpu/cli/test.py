@@ -398,7 +398,11 @@ def main(argv=None):
 
     model = build_usot(mem_size=args.mem_size,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
-                       else jnp.float32)
+                       else jnp.float32,
+                       # fused Pallas GroupDW: measured 24.3 -> 22.4
+                       # ms/step at B=32 (PERF_NOTES.md); interpret-mode
+                       # on CPU is test-only slow, so gate by backend
+                       fused_xcorr=jax.default_backend() == "tpu")
     if args.resume and os.path.exists(args.resume):
         variables = load_variables(args.resume)
     else:

@@ -85,27 +85,57 @@ class OPEBenchmark:
     def show_result(self, success_ret, precision_ret=None,
                     norm_precision_ret=None, show_video_level=False,
                     helight_threshold=0.6):
-        header = f"|{'Tracker name':^20}|{'Success':^9}|{'Norm dp':^9}|" \
-                 f"{'Precision':^11}|"
+        """Pretty-print: trackers sorted by AUC (top 20); optional
+        per-video table with sub-threshold cells in red
+        (ref: ope_benchmark.py:124-195, incl. its 'helight' spelling)."""
+        tracker_auc = {t: np.mean(list(success_ret[t].values()))
+                       for t in success_ret}
+        tracker_names = [t for t, _ in sorted(
+            tracker_auc.items(), key=lambda x: x[1], reverse=True)[:20]]
+
+        name_len = max(max(len(x) for x in success_ret) + 2, 12)
+        header = (f"|{{:^{name_len}}}|{{:^9}}|{{:^16}}|{{:^11}}|").format(
+            "Tracker name", "Success", "Norm Precision", "Precision")
         print("-" * len(header))
         print(header)
         print("-" * len(header))
-        for tracker_name in success_ret.keys():
-            success = np.mean(list(success_ret[tracker_name].values()))
-            if precision_ret is not None:
-                precision = np.mean(
-                    list(precision_ret[tracker_name].values()), axis=0)[20]
-            else:
-                precision = 0
-            if norm_precision_ret is not None:
-                norm_p = np.mean(
-                    list(norm_precision_ret[tracker_name].values()),
-                    axis=0)[20]
-            else:
-                norm_p = 0
-            print(f"|{tracker_name:^20}|{success:^9.3f}|{norm_p:^9.3f}|"
-                  f"{precision:^11.3f}|")
+        for t in tracker_names:
+            precision = np.mean(list(precision_ret[t].values()),
+                                axis=0)[20] if precision_ret else 0
+            norm_p = np.mean(list(norm_precision_ret[t].values()),
+                             axis=0)[20] if norm_precision_ret else 0
+            print((f"|{{:^{name_len}}}|{{:^9.3f}}|{{:^16.3f}}|"
+                   f"{{:^11.3f}}|").format(t, tracker_auc[t], norm_p,
+                                           precision))
         print("-" * len(header))
+
+        if show_video_level and len(success_ret) < 10 \
+                and precision_ret is not None and len(precision_ret) < 10:
+            print("\n\n")
+            header1 = f"|{'Tracker name':^21}|"
+            header2 = f"|{'Video name':^21}|"
+            for t in success_ret:
+                header1 += f"{t:^21}|"
+                header2 += f"{'success':^9}|{'precision':^11}|"
+            print("-" * len(header1))
+            print(header1)
+            print("-" * len(header1))
+            print(header2)
+            print("-" * len(header1))
+            red = "\033[31m{}\033[0m"
+            for video in list(success_ret[next(iter(success_ret))].keys()):
+                row = f"|{video:^21}|"
+                for t in success_ret:
+                    success = np.mean(success_ret[t][video])
+                    precision = np.mean(precision_ret[t][video])
+                    s_str = f"{success:^9.3f}"
+                    row += (red.format(s_str)
+                            if success < helight_threshold else s_str) + "|"
+                    p_str = f"{precision:^11.3f}"
+                    row += (red.format(p_str)
+                            if precision < helight_threshold else p_str) + "|"
+                print(row)
+            print("-" * len(header1))
 
 
 class AccuracyRobustnessBenchmark:
@@ -144,13 +174,26 @@ class AccuracyRobustnessBenchmark:
                 failures[video.name] = fail_group
         return overlaps, failures
 
-    def show_result(self, result, eao_result=None):
-        header = f"|{'Tracker name':^20}|{'Accuracy':^10}|{'Robustness':^12}|" \
+    def show_result(self, result, eao_result=None, show_video_level=False,
+                    helight_threshold=0.5):
+        """Pretty-print: trackers ranked by EAO (top 20) when available;
+        optional per-video Acc/LN table, red below threshold / any loss
+        (ref: ar_benchmark.py show_result)."""
+        name_len = max(max(len(x) for x in result) + 2, 12)
+        header = f"|{{:^{name_len}}}|{'Accuracy':^10}|{'Robustness':^12}|" \
                  f"{'Lost':^8}|{'EAO':^7}|"
+        header = header.format("Tracker name")
         print("-" * len(header))
         print(header)
         print("-" * len(header))
-        for tracker_name, ret in result.items():
+        if eao_result is not None:
+            tracker_names = [x[0] for x in sorted(
+                eao_result.items(), key=lambda x: x[1]["all"],
+                reverse=True)[:20]]
+        else:
+            tracker_names = list(result.keys())
+        for tracker_name in tracker_names:
+            ret = result[tracker_name]
             overlaps = list(itertools.chain(*ret["overlaps"].values()))
             accuracy = np.nanmean(overlaps)
             length = sum(len(x) for x in ret["overlaps"].values())
@@ -159,9 +202,36 @@ class AccuracyRobustnessBenchmark:
             robustness = np.mean(np.sum(np.array(failures), axis=0)
                                  / length) * 100
             eao = (eao_result or {}).get(tracker_name, {}).get("all", 0.0)
-            print(f"|{tracker_name:^20}|{accuracy:^10.3f}|{robustness:^12.3f}|"
-                  f"{lost:^8.1f}|{eao:^7.3f}|")
+            print(f"|{tracker_name:^{name_len}}|{accuracy:^10.3f}|"
+                  f"{robustness:^12.3f}|{lost:^8.1f}|{eao:^7.3f}|")
         print("-" * len(header))
+
+        if show_video_level and len(result) < 10:
+            print("\n\n")
+            header1 = f"|{'Tracker name':^14}|"
+            header2 = f"|{'Video name':^14}|"
+            for tracker_name in result:
+                header1 += f"{tracker_name:^17}|"
+                header2 += f"{'Acc':^8}|{'LN':^8}|"
+            print("-" * len(header1))
+            print(header1)
+            print("-" * len(header1))
+            print(header2)
+            print("-" * len(header1))
+            red = "\033[31m{}\033[0m"
+            videos = list(result[next(iter(result))]["overlaps"].keys())
+            for video in videos:
+                row = f"|{video:^14}|"
+                for tracker_name in result:
+                    acc = np.nanmean(result[tracker_name]["overlaps"][video])
+                    ln = np.mean(result[tracker_name]["failures"][video])
+                    a_str = f"{acc:^8.3f}"
+                    row += (red.format(a_str)
+                            if acc < helight_threshold else a_str) + "|"
+                    l_str = f"{ln:^8.3f}"
+                    row += (red.format(l_str) if ln > 0 else l_str) + "|"
+                print(row)
+            print("-" * len(header1))
 
 
 class EAOBenchmark:

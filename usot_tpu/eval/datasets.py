@@ -137,6 +137,16 @@ class BaseDataset:
         self.tracker_names = tracker_names
 
 
+def _build_attr(videos) -> dict:
+    """Attribute -> [video names] grouping, 'ALL' first
+    (ref: pysot/datasets/otb.py:103-115)."""
+    attr = {"ALL": list(videos.keys())}
+    for name, v in videos.items():
+        for a in (v.attr or []):
+            attr.setdefault(a, []).append(name)
+    return attr
+
+
 class OTBDataset(BaseDataset):
     def __init__(self, name, dataset_root, load_img=False):
         super().__init__(name, dataset_root)
@@ -148,7 +158,7 @@ class OTBDataset(BaseDataset):
                 meta[video]["video_dir"], meta[video]["init_rect"],
                 meta[video]["img_names"], meta[video]["gt_rect"],
                 meta[video].get("attr"), load_img)
-        self.attr = {"ALL": list(self.videos.keys())}
+        self.attr = _build_attr(self.videos)
 
 
 class LaSOTDataset(BaseDataset):
@@ -162,7 +172,7 @@ class LaSOTDataset(BaseDataset):
                 meta[video]["video_dir"], meta[video]["init_rect"],
                 meta[video]["img_names"], meta[video]["gt_rect"],
                 meta[video].get("attr"), meta[video]["absent"], load_img)
-        self.attr = {"ALL": list(self.videos.keys())}
+        self.attr = _build_attr(self.videos)
 
 
 class UAVDataset(OTBDataset):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from usot_tpu.ops.xcorr import xcorr_depthwise
+from usot_tpu.ops.xcorr import xcorr_depthwise, xcorr_groupdw
 
 
 class ConvBNRelu(nn.Module):
@@ -59,15 +59,39 @@ class MatrixBranch(nn.Module):
 class GroupDW(nn.Module):
     """Softmax-weighted fusion of the three depthwise correlations."""
     dtype: Any = jnp.float32
+    fused: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones, (3,),
+                                 jnp.float32)
+
     def __call__(self, zs: List[jnp.ndarray], xs: List[jnp.ndarray]):
-        weight = self.param("weight", nn.initializers.ones, (3,), jnp.float32)
-        w = jax.nn.softmax(weight, axis=0)
+        w = jax.nn.softmax(self.weight, axis=0)
+        if self.fused:
+            # one Pallas kernel: weights folded into the kernels
+            # (w * xcorr(x, k) == xcorr(x, w * k))
+            ks = [(z[:, None] * w[i].astype(z.dtype)) for i, z
+                  in enumerate(zs)]
+            return xcorr_groupdw(xs, ks)[:, 0]
         res = 0.0
         for i in range(3):
             res = res + w[i].astype(self.dtype) * xcorr_depthwise(xs[i], zs[i])
         return res
+
+    def multi(self, zs: List[jnp.ndarray], xs: List[jnp.ndarray],
+              mem_size: int):
+        """Memory-queue variant: UNREPEATED search encodings vs M kernels.
+
+        zs: 3 x (B*M, Hk_s, Wk_s, C) encoded queue kernels;
+        xs: 3 x (B, Hx_s, Wx_s, C). Returns (B, M, Ho, Wo, C) — the
+        (B*M)-lane repeat of the naive route never materializes
+        (measured 12.1 -> 5.45 ms at B=32, M=7; PERF_NOTES.md)."""
+        w = jax.nn.softmax(self.weight, axis=0)
+        ks = []
+        for i, z in enumerate(zs):
+            k = z.reshape((xs[i].shape[0], mem_size) + z.shape[1:])
+            ks.append(k * w[i].astype(k.dtype))
+        return xcorr_groupdw(xs, ks)
 
 
 class ConfFusion(nn.Module):
@@ -116,14 +140,15 @@ class BoxTowerReg(nn.Module):
     out_channels: int = 256
     tower_num: int = 4
     dtype: Any = jnp.float32
+    fused_xcorr: bool = False
 
     def setup(self):
         self.cls_encode_k = MatrixBranch(self.out_channels, self.dtype)
         self.cls_encode_s = MatrixBranch(self.out_channels, self.dtype)
         self.reg_encode_k = MatrixBranch(self.out_channels, self.dtype)
         self.reg_encode_s = MatrixBranch(self.out_channels, self.dtype)
-        self.cls_dw = GroupDW(self.dtype)
-        self.reg_dw = GroupDW(self.dtype)
+        self.cls_dw = GroupDW(self.dtype, fused=self.fused_xcorr)
+        self.reg_dw = GroupDW(self.dtype, fused=self.fused_xcorr)
         self.conf_fusion = ConfFusion(self.out_channels, self.dtype)
         self.bbox_tower = Tower(self.out_channels, self.tower_num, self.dtype)
         self.cls_tower = Tower(self.out_channels, self.tower_num, self.dtype)
@@ -178,16 +203,19 @@ class BoxTowerReg(nn.Module):
         """
         cls_mem_zs = self.cls_encode_k(memory_kernel, bn_train)
         batch = cls_x[0].shape[0]
-        store_repeat = []
-        for x in cls_x:
-            b, h, w, c = x.shape
-            rep = jnp.repeat(x[:, None], mem_size, axis=1).reshape(
-                b * mem_size, h, w, c)
-            store_repeat.append(rep)
-
-        cls_mem_dw = self.cls_dw(cls_mem_zs, store_repeat)  # (B*M, Ho, Wo, C)
-        bm, ho, wo, c = cls_mem_dw.shape
-        cls_mem_dw = cls_mem_dw.reshape(batch, mem_size, ho, wo, c)
+        if self.fused_xcorr:
+            # fused multi-kernel path: never repeats cls_x to B*M lanes
+            cls_mem_dw = self.cls_dw.multi(cls_mem_zs, cls_x, mem_size)
+        else:
+            store_repeat = []
+            for x in cls_x:
+                b, h, w, c = x.shape
+                rep = jnp.repeat(x[:, None], mem_size, axis=1).reshape(
+                    b * mem_size, h, w, c)
+                store_repeat.append(rep)
+            dw = self.cls_dw(cls_mem_zs, store_repeat)  # (B*M, Ho, Wo, C)
+            bm, ho, wo, c = dw.shape
+            cls_mem_dw = dw.reshape(batch, mem_size, ho, wo, c)
 
         fused = self.conf_fusion(cls_mem_dw, bn_train)  # (B, Ho, Wo, C)
         c_mem = self.cls_memory_tower(fused, bn_train)

@@ -63,12 +63,16 @@ class USOTNet(nn.Module):
     sf_size: int = 25
     stride: int = 8
     dtype: Any = jnp.float32
+    # Fused Pallas GroupDW correlation (inference-only: the kernel has no
+    # VJP). TPU engine builders flip this on; training keeps it off.
+    fused_xcorr: bool = False
 
     def setup(self):
         self.features = ResNetPlus2(dtype=self.dtype)
         self.neck = AdjustLayer(out_channels=256, dtype=self.dtype)
         self.connect = BoxTowerReg(out_channels=256, tower_num=4,
-                                   dtype=self.dtype)
+                                   dtype=self.dtype,
+                                   fused_xcorr=self.fused_xcorr)
 
     # ---------------- inference API ----------------
 

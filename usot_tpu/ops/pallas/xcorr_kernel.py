@@ -36,6 +36,132 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _xcorr_multi_kernel(hk: int, wk: int, ho: int, wo: int,
+                        x_ref, k_ref, o_ref):
+    x = x_ref[0]            # (Hx, Wx_pad, C_pad) — shared across the M axis
+    k = k_ref[0, 0]         # (Hk, Wk_pad, C_pad)
+    acc = jnp.zeros(o_ref.shape[2:], jnp.float32)
+    for u in range(hk):
+        for v in range(wk):
+            acc += x[u:u + ho, v:v + wo, :].astype(jnp.float32) \
+                * k[u, v, :][None, None, :].astype(jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def xcorr_depthwise_multi_pallas(x, kernel, interpret: bool = False):
+    """Multi-kernel depthwise xcorr (one search map vs M kernels).
+
+    x: (B, Hx, Wx, C); kernel: (B, M, Hk, Wk, C) -> (B, M, Ho, Wo, C).
+
+    Grid (B, M) with the search block's index map ignoring m: consecutive
+    grid steps over m reuse the VMEM-resident x block (Pallas skips the
+    DMA when the block index repeats), so each batch's search map is
+    fetched from HBM once while M outputs stream out — the repeat tensor
+    the XLA route materializes (B*M, Hx, Wx, C) never exists."""
+    b, hx, wx, c = x.shape
+    _, m, hk, wk, _ = kernel.shape
+    ho, wo = hx - hk + 1, wx - wk + 1
+
+    c_pad = _round_up(c, 128)
+    wo_pad = _round_up(wo, 8)
+    wx_pad = _round_up(max(wx, wo_pad + wk - 1), 8)
+    wk_pad = _round_up(wk, 8)
+
+    x_p = jnp.pad(x, ((0, 0), (0, 0), (0, wx_pad - wx), (0, c_pad - c)))
+    k_p = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, wk_pad - wk),
+                           (0, c_pad - c)))
+
+    kern = functools.partial(_xcorr_multi_kernel, hk, wk, ho, wo_pad)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, m),
+        in_specs=[
+            pl.BlockSpec((1, hx, wx_pad, c_pad),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hk, wk_pad, c_pad),
+                         lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ho, wo_pad, c_pad),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, ho, wo_pad, c_pad), x.dtype),
+        interpret=interpret,
+    )(x_p, k_p)
+    return out[:, :, :, :wo, :c]
+
+
+def _groupdw_multi_kernel(geom, x0_ref, x1_ref, x2_ref, k0_ref, k1_ref,
+                          k2_ref, o_ref):
+    acc = jnp.zeros(o_ref.shape[2:], jnp.float32)
+    for x_ref, k_ref, (hk, wk) in zip((x0_ref, x1_ref, x2_ref),
+                                      (k0_ref, k1_ref, k2_ref), geom):
+        x = x_ref[0]        # (Hx_s, Wx_pad_s, C_pad) — shared across M
+        k = k_ref[0, 0]     # (Hk_s, Wk_pad_s, C_pad)
+        ho, wo = o_ref.shape[2], o_ref.shape[3]
+        for u in range(hk):
+            for v in range(wk):
+                acc += x[u:u + ho, v:v + wo, :].astype(jnp.float32) \
+                    * k[u, v, :][None, None, :].astype(jnp.float32)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def xcorr_groupdw_pallas(xs, ks, interpret: bool = False):
+    """Fused GroupDW: sum of three multi-kernel depthwise correlations.
+
+    xs: 3 search encodings (B, Hx_s, Wx_s, C) (the three dilation scales
+    have different spatial sizes); ks: 3 kernel stacks (B, M, Hk_s,
+    Wk_s, C), softmax weights already folded in (w*xcorr(x,k) ==
+    xcorr(x, w*k)). Returns (B, M, Ho, Wo, C) with Ho/Wo common to all
+    scales (ref: GroupDW fusion, lib/models/connect.py:147-176).
+
+    One grid cell per (b, m): the three search blocks' index maps ignore
+    m, so they stay VMEM-resident across the M inner steps; each cell
+    writes one fused output block — the (B*M, Hx, Wx, C) repeat and the
+    three separate correlation maps of the XLA route never exist."""
+    b, _, _, c = xs[0].shape
+    m = ks[0].shape[1]
+    geom = tuple((k.shape[2], k.shape[3]) for k in ks)
+    ho = xs[0].shape[1] - geom[0][0] + 1
+    wo = xs[0].shape[2] - geom[0][1] + 1
+    for x_s, (hk, wk) in zip(xs, geom):
+        assert x_s.shape[1] - hk + 1 == ho and x_s.shape[2] - wk + 1 == wo
+
+    c_pad = _round_up(c, 128)
+    wo_pad = _round_up(wo, 8)
+
+    x_specs, k_specs, x_ops, k_ops = [], [], [], []
+    for x_s, k_s, (hk, wk) in zip(xs, ks, geom):
+        hx, wx = x_s.shape[1], x_s.shape[2]
+        wx_pad = _round_up(max(wx, wo_pad + wk - 1), 8)
+        wk_pad = _round_up(wk, 8)
+        x_ops.append(jnp.pad(x_s, ((0, 0), (0, 0), (0, wx_pad - wx),
+                                   (0, c_pad - c))))
+        k_ops.append(jnp.pad(k_s, ((0, 0), (0, 0), (0, 0),
+                                   (0, wk_pad - wk), (0, c_pad - c))))
+        x_specs.append(pl.BlockSpec((1, hx, wx_pad, c_pad),
+                                    lambda i, j: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        k_specs.append(pl.BlockSpec((1, 1, hk, wk_pad, c_pad),
+                                    lambda i, j: (i, j, 0, 0, 0),
+                                    memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_groupdw_multi_kernel, geom)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, m),
+        in_specs=x_specs + k_specs,
+        out_specs=pl.BlockSpec((1, 1, ho, wo_pad, c_pad),
+                               lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, ho, wo_pad, c_pad),
+                                       xs[0].dtype),
+        interpret=interpret,
+    )(*x_ops, *k_ops)
+    return out[:, :, :, :wo, :c]
+
+
 def xcorr_depthwise_pallas(x, kernel, interpret: bool = False):
     """x: (B, Hx, Wx, C); kernel: (B, Hk, Wk, C) -> (B, Ho, Wo, C) VALID.
 

@@ -70,6 +70,61 @@ def xcorr_depthwise_conv(x, kernel):
     return jnp.transpose(out, (2, 0, 1, 3)).astype(x.dtype)
 
 
+def xcorr_groupdw(xs, ks, use_pallas: bool | None = None):
+    """Fused GroupDW: sum_s multi-xcorr(xs[s], ks[s]).
+
+    xs: 3 search encodings (B, Hx_s, Wx_s, C); ks: 3 kernel stacks
+    (B, M, Hk_s, Wk_s, C) with the softmax scale weights already folded
+    in. Returns (B, M, Ho, Wo, C).
+
+    use_pallas=None resolves by backend: the Pallas kernel on TPU
+    (measured 5.45 ms vs 12.1 ms for repeat+shift at B=32, M=7 —
+    PERF_NOTES.md), the interpreter on other backends (slow; only for
+    parity tests — production CPU paths keep the module default
+    fused_xcorr=False and never reach here)."""
+    if use_pallas is None:
+        use_pallas = True  # interpret-mode fallback keeps CPU tests honest
+    if use_pallas:
+        from usot_tpu.ops.pallas.xcorr_kernel import xcorr_groupdw_pallas
+        interpret = jax.default_backend() != "tpu"
+        return xcorr_groupdw_pallas(xs, ks, interpret=interpret)
+    out = None
+    b, m = ks[0].shape[0], ks[0].shape[1]
+    for x, k in zip(xs, ks):
+        rep = jnp.repeat(x[:, None], m, axis=1).reshape((b * m,)
+                                                        + x.shape[1:])
+        kf = k.reshape((b * m,) + k.shape[2:])
+        res = xcorr_depthwise(rep, kf)
+        res = res.reshape((b, m) + res.shape[1:])
+        out = res if out is None else out + res
+    return out
+
+
+def xcorr_depthwise_multi(x, kernel):
+    """Multi-kernel depthwise xcorr: one search map vs M kernels per batch.
+
+    x: (B, Hx, Wx, C); kernel: (B, M, Hk, Wk, C) -> (B, M, Ho, Wo, C).
+
+    The memory head correlates ONE search encoding against the M=7 queue
+    kernels; the naive route (jnp.repeat the search map to B*M lanes,
+    then pairwise xcorr) materializes and re-reads the repeated tensor —
+    measured 12 ms of the 24 ms frame step at B=32. This broadcast
+    shift-multiply never materializes the repeat: each of the Hk*Wk
+    fused terms reads the (B, Ho, Wo, C) window slice once and a
+    per-kernel scalar vector (ref semantics: lib/models/connect.py:
+    memory branch repeat at connect.py:228-236 + grouped-conv xcorr)."""
+    b, hx, wx, c = x.shape
+    _, m, hk, wk, _ = kernel.shape
+    ho, wo = hx - hk + 1, wx - wk + 1
+    acc = jnp.zeros((b, m, ho, wo, c), jnp.float32)
+    for u in range(hk):
+        for v in range(wk):
+            acc = acc + x[:, None, u:u + ho, v:v + wo, :] \
+                .astype(jnp.float32) \
+                * kernel[:, :, u, v, None, None, :].astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
 # Naive reference for tests (independent formulation)
 def xcorr_depthwise_ref(x, kernel):
     import numpy as np
