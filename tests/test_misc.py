@@ -204,3 +204,33 @@ class TestProhibitAndWindowing:
         assert all(len(fr) == 221 for _, fr in pieces)
         names = [n for n, _ in pieces]
         assert names[0].endswith("-01")
+
+
+class TestSubwindowMatmul:
+    """The MXU (sparse-matmul) crop matches the gather crop bit-for-bit-ish
+    (HIGHEST-precision matmuls; identical geometry and avg-padding)."""
+
+    def test_matches_gather(self, rng):
+        import functools
+
+        import jax
+
+        from usot_tpu.core.crop import subwindow_matmul
+
+        im = jnp.asarray(rng.integers(0, 255, (97, 131 * 3),
+                                      dtype=np.uint8))
+        avg = jnp.asarray([101.0, 99.5, 120.25])
+        fa = jax.jit(functools.partial(subwindow_jax, model_sz=63,
+                                       channels=3))
+        fb = jax.jit(functools.partial(subwindow_matmul, model_sz=63,
+                                       channels=3))
+        cases = [(50., 40., 80., 97., 131.),    # interior
+                 (5., 5., 90., 97., 131.),      # off the top-left corner
+                 (120., 90., 60., 77., 100.),   # valid < canvas
+                 (65.3, 48.7, 33., 97., 131.),  # fractional pos, upsample
+                 (-10., 200., 140., 97., 131.)]  # mostly outside
+        for px, py, s, vh, vw in cases:
+            a = fa(im, px, py, s, avg, valid_h=vh, valid_w=vw)
+            b = fb(im, px, py, s, avg, valid_h=vh, valid_w=vw)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3)

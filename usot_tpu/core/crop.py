@@ -188,6 +188,73 @@ def subwindow_jax(im, pos_x, pos_y, original_sz, avg_chans, model_sz: int,
     return top * (1 - fy_) + bot * fy_
 
 
+def subwindow_matmul(im, pos_x, pos_y, original_sz, avg_chans,
+                     model_sz: int, valid_h=None, valid_w=None,
+                     channels: int = 3):
+    """`subwindow_jax` re-expressed as two dynamic sparse matmuls (MXU).
+
+    Identical geometry/semantics to subwindow_jax (same source-coordinate
+    formula, avg padding outside the valid region), but the bilinear
+    gather becomes:
+
+        out = Ry @ im @ Rx^T + avg * (1 - sy (x) sx)
+
+    where Ry (S, H) / Rx (S, W) hold the two bilinear taps per output
+    row/col (zeroed outside the valid region) and sy/sx are their row
+    sums. The avg-fallback separates exactly because a tap is invalid
+    iff its y OR x index is outside: the valid-tap weight mass factors
+    as sy*sx. Gathers are slow on the VPU; dense dynamic weight
+    matrices ride the MXU instead (measured 3.6 -> ~1 ms at B=32).
+
+    im: (H, W*C) channel-flat uint8/float. Returns (S, S, C) f32.
+    """
+    C = channels
+    H, W = im.shape[0], im.shape[1] // C
+    vh = jnp.asarray(H if valid_h is None else valid_h, jnp.float32)
+    vw = jnp.asarray(W if valid_w is None else valid_w, jnp.float32)
+    sz = jnp.round(original_sz)
+    cxt_xmin = jnp.round(pos_x - (original_sz + 1.0) / 2.0)
+    cxt_ymin = jnp.round(pos_y - (original_sz + 1.0) / 2.0)
+
+    scale = sz / float(model_sz)
+    d = (jnp.arange(model_sz, dtype=jnp.float32) + 0.5) * scale - 0.5
+
+    def weights(cxt_min, size, valid_size):
+        src = cxt_min + d                      # (S,)
+        i0 = jnp.floor(src)
+        frac = src - i0
+        grid = jnp.arange(size, dtype=jnp.float32)[None, :]  # (1, N)
+        t0 = jnp.where((i0 >= 0) & (i0 < valid_size),
+                       1.0 - frac, 0.0)[:, None]
+        t1 = jnp.where((i0 + 1 >= 0) & (i0 + 1 < valid_size),
+                       frac, 0.0)[:, None]
+        R = t0 * (grid == i0[:, None]) + t1 * (grid == i0[:, None] + 1.0)
+        return R.astype(jnp.float32)           # (S, N)
+
+    Ry = weights(cxt_ymin, H, vh)
+    Rx = weights(cxt_xmin, W, vw)
+    sy = jnp.sum(Ry, axis=1)                   # (S,)
+    sx = jnp.sum(Rx, axis=1)
+
+    # Raised precision: the platform's default matmul precision is bf16,
+    # which costs ~0.5/255 pixel error — visible drift in the tracker.
+    # HIGHEST matches the gather to 3e-5; HIGH (3-pass) to ~2e-3 px-value.
+    prec = jax.lax.Precision.HIGHEST
+    rows = jnp.matmul(Ry, im.astype(jnp.float32),
+                      precision=prec)                        # (S, W*C)
+    rows = rows.reshape(model_sz, W, C)
+    # contract the W axis on the MXU: (S, W, C) x (S, W) -> (S, S, C)
+    cols = jax.lax.dot_general(
+        rows, Rx, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=prec,
+        preferred_element_type=jnp.float32)    # (S, C, S2)
+    out = jnp.transpose(cols, (0, 2, 1))       # (S, S2, C)
+
+    avg = jnp.asarray(avg_chans, jnp.float32).reshape(1, 1, C)
+    miss = 1.0 - sy[:, None, None] * sx[None, :, None]
+    return out + avg * miss
+
+
 def template_bbox_in_crop(pos_x, pos_y, target_w, target_h, original_sz,
                           model_sz: int, xp=np):
     """Image-axis target bbox mapped into crop coordinates.

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from usot_tpu.core.crop import get_subwindow, subwindow_jax
+from usot_tpu.core.crop import get_subwindow, subwindow_jax, subwindow_matmul
 from usot_tpu.core.geometry import feature_axis, python2round, score_grid
 from usot_tpu.models.usot import USOTNet
 from usot_tpu.tracker.config import TrackerConfig
@@ -110,7 +110,8 @@ class ScanEngine:
 
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  im_h: int, im_w: int, max_frames: int = 4096,
-                 chunk: int = 64, unroll: int = 8, carry_dtype=None):
+                 chunk: int = 64, unroll: int = 8, carry_dtype=None,
+                 crop_impl: str = "auto"):
         self.model = model
         # Commit variables to the device ONCE. Checkpoint loaders hand over
         # host numpy trees; passing those to the jitted chunk fn re-uploads
@@ -130,6 +131,14 @@ class ScanEngine:
         # far more than FLOPs (see PERF_NOTES.md), so merging `unroll`
         # frames into each loop step buys near-linear speedups
         self.unroll = max(1, min(unroll, chunk))
+        # In-graph crop: 'matmul' rides the MXU (two dynamic sparse
+        # matmuls), 'gather' the VPU; identical numerics to 3e-5
+        # (tests/test_misc.py). MXU wins on TPU.
+        if crop_impl == "auto":
+            crop_impl = "matmul" if jax.default_backend() == "tpu" \
+                else "gather"
+        self._crop = subwindow_matmul if crop_impl == "matmul" \
+            else subwindow_jax
 
         instance = p.instance_size
         score = p.score_size
@@ -168,10 +177,10 @@ class ScanEngine:
         d_search = (p.instance_size - p.exemplar_size) / 2
         s_x = jnp.round(s_z + 2 * d_search / scale_z)
 
-        x_crop = subwindow_jax(frame_u8, pos[0], pos[1], s_x, avg,
-                               p.instance_size,
-                               valid_h=im_hw[0], valid_w=im_hw[1],
-                               channels=3)
+        x_crop = self._crop(frame_u8, pos[0], pos[1], s_x, avg,
+                            p.instance_size,
+                            valid_h=im_hw[0], valid_w=im_hw[1],
+                            channels=3)
 
         xf = model.apply(variables, x_crop[None].astype(model.dtype),
                          method=USOTNet.search_features)
@@ -410,7 +419,8 @@ class BatchScanEngine(ScanEngine):
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  canvas_h: int, canvas_w: int, batch: int,
                  max_frames: int = 2048, chunk: int = 32,
-                 impl: str = "vmap", unroll: int = 1):
+                 impl: str = "vmap", unroll: int = 1,
+                 crop_impl: str = "auto"):
         """impl: 'vmap' maps the single-video step over videos (grouped
         convs stay at 256 feature groups — fast lowering on current
         toolchains); 'native' feeds the net real (B, ...) batches (grouped
@@ -419,7 +429,8 @@ class BatchScanEngine(ScanEngine):
         self.batch = batch
         self.impl = impl
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
-                         max_frames=max_frames, chunk=chunk, unroll=unroll)
+                         max_frames=max_frames, chunk=chunk, unroll=unroll,
+                         crop_impl=crop_impl)
 
     def _frame_step_batched(self, variables, avg_b, im_hw_b, carry, frames):
         """Natively-batched frame step: the network sees real (B, ...)
@@ -440,7 +451,7 @@ class BatchScanEngine(ScanEngine):
         s_x = jnp.round(s_z + 2 * d_search / scale_z)
 
         crop = jax.vmap(
-            lambda im, px, py, ssx, av, hw: subwindow_jax(
+            lambda im, px, py, ssx, av, hw: self._crop(
                 im, px, py, ssx, av, p.instance_size,
                 valid_h=hw[0], valid_w=hw[1], channels=3))
         x_crop = crop(frames, pos[:, 0], pos[:, 1],
