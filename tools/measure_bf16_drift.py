@@ -21,6 +21,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=96)
     ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--ckpt",
+                    default="var/synth_train/snapshot/checkpoint_e7.ckpt",
+                    help="trained checkpoint (random weights make the "
+                    "argmax chance-level and the measurement meaningless)")
     args = ap.parse_args()
 
     import jax
@@ -42,9 +46,13 @@ def main():
     for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         model = build_usot(mem_size=4, dtype=dtype,
                            fused_xcorr=args.fused)
-        from flax import serialization
-        with open("var/bench_variables.msgpack", "rb") as f:
-            variables = serialization.msgpack_restore(f.read())
+        if os.path.exists(args.ckpt):
+            from usot_tpu.train.checkpoint import load_variables
+            variables = load_variables(args.ckpt)
+        else:
+            from flax import serialization
+            with open("var/bench_variables.msgpack", "rb") as f:
+                variables = serialization.msgpack_restore(f.read())
         runner = ModelRunner(model, variables)
         p = TrackerConfig()
         p.instance_size = p.small_sz
@@ -71,6 +79,15 @@ def main():
     print(f"size deviation px:   mean {ds.mean():.3f}  p95 "
           f"{np.percentile(ds, 95):.3f}  max {ds.max():.3f}")
     print(f"score deviation:     mean {dc.mean():.4f}  max {dc.max():.4f}")
+
+    # vs ground truth: does bf16 change tracking QUALITY, or only the
+    # trajectory's low bits? (synthetic_video target: 200+1.5f, 240+0.7f)
+    f = np.arange(1, len(p32) + 1)
+    gt = np.stack([200 + np.floor(1.5 * f), 240 + np.floor(0.7 * f)], -1)
+    for name, p in (("f32", p32), ("bf16", p16)):
+        err = np.linalg.norm(p - gt, axis=1)
+        print(f"{name} center error vs GT: mean {err.mean():.3f}  "
+              f"p95 {np.percentile(err, 95):.3f}  max {err.max():.3f}")
 
 
 if __name__ == "__main__":
