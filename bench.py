@@ -130,11 +130,20 @@ def main():
     n_rest = rest.shape[1]
 
     # --- streaming figure (tunnel-included), one pass ---
+    roi = int(os.environ.get("BENCH_ROI", "0"))
     t0 = time.perf_counter()
-    state, pos, _, _ = engine.track_batch(
-        state, rest, n_valid=np.full(batch, n_rest))
-    stream_fps = batch * n_rest / (time.perf_counter() - t0)
-    log(f"bench: streaming (tunnel-included): {stream_fps:.1f} fps")
+    if roi:
+        state, pos, _, _ = engine.track_batch_roi(
+            state, rest, n_valid=np.full(batch, n_rest), roi=roi)
+        stream_fps = batch * n_rest / (time.perf_counter() - t0)
+        log(f"bench: ROI-{roi} streaming (tunnel-included): "
+            f"{stream_fps:.1f} fps "
+            f"({engine.roi_replays}/{engine.roi_chunks} chunks replayed)")
+    else:
+        state, pos, _, _ = engine.track_batch(
+            state, rest, n_valid=np.full(batch, n_rest))
+        stream_fps = batch * n_rest / (time.perf_counter() - t0)
+        log(f"bench: streaming (tunnel-included): {stream_fps:.1f} fps")
 
     # --- staged steady-state (chip throughput), median of repeats ---
     t0 = time.perf_counter()

@@ -207,3 +207,50 @@ class TestBatchScanEngine:
         # n_valid are padding and not used by callers)
         np.testing.assert_allclose(np.asarray(st.pos[1]), pos[1][2],
                                    atol=1e-5)
+
+
+class TestROIStreaming:
+    def test_roi_matches_full(self, setup):
+        """ROI streaming matches full-frame tracking (same pixels read;
+        ~1e-5 relative f32 coordinate noise); escaped chunks replay."""
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=9)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+
+        def make():
+            batch = BatchScanEngine(model, variables, p, canvas_h=H,
+                                    canvas_w=W, batch=2, max_frames=32,
+                                    chunk=3)
+            videos = [(frames[0], np.array(centers[0], float),
+                       np.array([48.0, 48.0]))] * 2
+            return batch, batch.init_batch(videos, runner)
+
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        nv = np.array([8, 8])
+
+        batch, st = make()
+        _, pos_f, sz_f, score_f = batch.track_batch(st, fb, n_valid=nv)
+
+        # ROI sized to cover the search window: no replays expected
+        batch, st = make()
+        _, pos_r, sz_r, score_r = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=min(H, W) - 8)
+        np.testing.assert_allclose(pos_r, pos_f, atol=1e-2)
+        np.testing.assert_allclose(sz_r, sz_f, atol=1e-2)
+        assert batch.roi_replays == 0, \
+            "covering ROI should not trigger replays"
+
+        # ROI too small for the search window: every chunk replays, and
+        # the result is still exact
+        batch, st = make()
+        _, pos_t, sz_t, _ = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=64)
+        # all-replayed chunks ARE bit-identical (full-frame path)
+        np.testing.assert_allclose(pos_t, pos_f, atol=1e-5)
+        assert batch.roi_replays == batch.roi_chunks

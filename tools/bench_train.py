@@ -1,0 +1,93 @@
+"""Device-only training-step throughput on the chip.
+
+Times the two jitted phases (naive Siamese, cycle-memory) at reference
+geometry (template 127, search 255, score 25) with synced readbacks —
+the counterpart of the reference's 4x-GPU training envelope
+(SURVEY §6: 30 epochs x 50k samples, batch 12/GPU x 4).
+
+Usage: python tools/bench_train.py [--batch 32] [--mem-batch 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--mem-batch", type=int, default=8)
+    ap.add_argument("--mem-num", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "var/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from usot_tpu.models.usot import USOTNet, build_usot, init_variables
+    from usot_tpu.train.optim import build_optimizer
+    from usot_tpu.train.step import TrainState, make_train_step
+
+    model = build_usot(mem_size=args.mem_num)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(variables["params"], momentum=0.9,
+                            weight_decay=1e-4, layers_lr_mult=0.1,
+                            unfix=True)
+    state = TrainState(jax.device_put(variables["params"]),
+                       jax.device_put(variables["batch_stats"]),
+                       jax.device_put(tx.init(variables["params"])))
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(b, mem):
+        batch = {
+            "template": rng.normal(size=(b, 127, 127, 3)).astype(np.float32),
+            "search": rng.normal(size=(b, 255, 255, 3)).astype(np.float32),
+            "label": (rng.random((b, 25, 25)) > 0.8).astype(np.float32),
+            "reg_target": np.abs(rng.normal(
+                size=(b, 25, 25, 4)).astype(np.float32)) + 1.0,
+            "reg_weight": (rng.random((b, 25, 25)) > 0.7).astype(np.float32),
+            "template_bbox": np.tile([3.0, 3.0, 11.0, 11.0], (b, 1))
+            .astype(np.float32),
+        }
+        if mem:
+            batch["search_memory"] = rng.normal(
+                size=(b, args.mem_num, 255, 255, 3)).astype(np.float32)
+            batch["search_bbox"] = np.tile([5.0, 5.0, 19.0, 19.0], (b, 1)) \
+                .astype(np.float32)
+        return jax.device_put(batch)
+
+    for name, cyc, b in (("naive", False, args.batch),
+                         ("cycle-memory", True, args.mem_batch)):
+        step = make_train_step(model, tx, cycle_memory=cyc,
+                               stage_bn_train=True, lambda_1=0.3)
+        batch = make_batch(b, cyc)
+        st = state
+        t = time.perf_counter()
+        st, metrics = step(st, batch, jnp.float32(0.005), jnp.float32(0.5))
+        loss = float(metrics["loss"])
+        print(f"{name}: compile+first step {time.perf_counter()-t:.1f}s "
+              f"(loss {loss:.3f})", flush=True)
+        reps = []
+        for _ in range(3):
+            t = time.perf_counter()
+            for _ in range(args.iters):
+                st, metrics = step(st, batch, jnp.float32(0.005),
+                                   jnp.float32(0.5))
+            float(metrics["loss"])
+            reps.append((time.perf_counter() - t) / args.iters)
+        sec = min(reps)
+        print(f"{name}: batch {b}: {sec*1e3:.1f} ms/step = "
+              f"{b/sec:.1f} samples/s "
+              f"(epoch of 50k samples: {50000*sec/b/60:.1f} min)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -157,17 +157,22 @@ class ScanEngine:
 
     # ---- one frame ----
 
-    def _frame_step(self, variables, avg, im_hw, carry: EngineState,
-                    frame_u8):
+    def _frame_step(self, variables, avg, im_hw, origin,
+                    carry: EngineState, frame_u8):
         """One tracked frame. frame_u8: (H, W*3) channel-flat uint8 — the
         flat layout tiles exactly on TPU ((H, W, 3) would pad the minor
         dim 3 -> 128 lanes: 42x HBM + transfer blowup). avg: (3,);
         im_hw: (2,) [h, w] valid region of the (possibly padded) frame
         canvas — traced so batched engines can mix video resolutions on
-        one canvas."""
+        one canvas. origin: (2,) [ox, oy] image coords of the frame
+        buffer's top-left — (0, 0) for full frames; ROI streaming passes
+        the extracted window's origin so carry positions stay in image
+        coordinates (see track_batch_roi)."""
         p = self.p
         c = self._consts
         model = self.model
+        frame_h = frame_u8.shape[0]
+        frame_w = frame_u8.shape[1] // 3
 
         pos, sz = carry.pos, carry.sz
         wc_z = sz[0] + p.context_amount * (sz[0] + sz[1])
@@ -177,9 +182,14 @@ class ScanEngine:
         d_search = (p.instance_size - p.exemplar_size) / 2
         s_x = jnp.round(s_z + 2 * d_search / scale_z)
 
-        x_crop = self._crop(frame_u8, pos[0], pos[1], s_x, avg,
+        # valid region of this buffer: image extent minus the origin,
+        # clipped to the buffer (full frames: min(im_h, canvas_h) etc.)
+        vh = jnp.minimum(im_hw[0] - origin[1], float(frame_h))
+        vw = jnp.minimum(im_hw[1] - origin[0], float(frame_w))
+        x_crop = self._crop(frame_u8, pos[0] - origin[0],
+                            pos[1] - origin[1], s_x, avg,
                             p.instance_size,
-                            valid_h=im_hw[0], valid_w=im_hw[1],
+                            valid_h=vh, valid_w=vw,
                             channels=3)
 
         xf = model.apply(variables, x_crop[None].astype(model.dtype),
@@ -272,11 +282,12 @@ class ScanEngine:
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
-        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
+        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw,
+                     origin):
             def body(carry, xs):
                 frame, is_valid = xs
                 new_carry, out = self._frame_step(variables, avg, im_hw,
-                                                  carry, frame)
+                                                  origin, carry, frame)
                 keep = lambda n, o: jnp.where(is_valid, n, o)
                 sel_carry = jax.tree.map(keep, new_carry, carry)
                 return sel_carry, out
@@ -386,7 +397,8 @@ class ScanEngine:
             valid = jnp.asarray(np.arange(self.chunk) < nb)
             state, outs = self._chunk_fn(
                 self.variables, state, jnp.asarray(block), valid, avg,
-                jnp.asarray([hw[0], hw[1]], jnp.float32))
+                jnp.asarray([hw[0], hw[1]], jnp.float32),
+                jnp.zeros((2,), jnp.float32))
             yield i, nb, state, outs
 
     def track_frames(self, state: EngineState, frames_u8: np.ndarray,
@@ -432,7 +444,8 @@ class BatchScanEngine(ScanEngine):
                          max_frames=max_frames, chunk=chunk, unroll=unroll,
                          crop_impl=crop_impl)
 
-    def _frame_step_batched(self, variables, avg_b, im_hw_b, carry, frames):
+    def _frame_step_batched(self, variables, avg_b, im_hw_b, origin_b,
+                            carry, frames):
         """Natively-batched frame step: the network sees real (B, ...)
         batches (full MXU tiles) — only the light gather/scalar pieces
         (crop, queue sampling) are vmapped. A vmap-of-batch-1 formulation
@@ -441,6 +454,8 @@ class BatchScanEngine(ScanEngine):
         c = self._consts
         model = self.model
         B = frames.shape[0]
+        frame_h = frames.shape[1]
+        frame_w = frames.shape[2] // 3
 
         pos, sz = carry.pos, carry.sz                    # (B, 2)
         wc_z = sz[:, 0] + p.context_amount * (sz[:, 0] + sz[:, 1])
@@ -451,11 +466,14 @@ class BatchScanEngine(ScanEngine):
         s_x = jnp.round(s_z + 2 * d_search / scale_z)
 
         crop = jax.vmap(
-            lambda im, px, py, ssx, av, hw: self._crop(
+            lambda im, px, py, ssx, av, vh, vw: self._crop(
                 im, px, py, ssx, av, p.instance_size,
-                valid_h=hw[0], valid_w=hw[1], channels=3))
-        x_crop = crop(frames, pos[:, 0], pos[:, 1],
-                      s_x, avg_b, im_hw_b)               # (B, S, S, 3)
+                valid_h=vh, valid_w=vw, channels=3))
+        vh = jnp.minimum(im_hw_b[:, 0] - origin_b[:, 1], float(frame_h))
+        vw = jnp.minimum(im_hw_b[:, 1] - origin_b[:, 0], float(frame_w))
+        x_crop = crop(frames, pos[:, 0] - origin_b[:, 0],
+                      pos[:, 1] - origin_b[:, 1],
+                      s_x, avg_b, vh, vw)                # (B, S, S, 3)
 
         xf = model.apply(variables, x_crop.astype(model.dtype),
                          method=USOTNet.search_features)
@@ -552,15 +570,16 @@ class BatchScanEngine(ScanEngine):
         if getattr(self, "impl", "vmap") == "native":
             step = self._frame_step_batched
         else:
-            vstep = jax.vmap(self._frame_step, in_axes=(None, 0, 0, 0, 0))
-            step = lambda v, avg, hw, carry, frame: vstep(
-                v, avg, hw, carry, frame)
+            step = jax.vmap(self._frame_step,
+                            in_axes=(None, 0, 0, 0, 0, 0))
 
-        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw):
-            # frames_u8: (T, B, H, W, 3); valid: (T, B)
+        def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw,
+                     origin):
+            # frames_u8: (T, B, H, W*3); valid: (T, B); origin: (B, 2)
             def body(carry, xs):
                 frame, is_valid = xs
-                new_carry, out = step(variables, avg, im_hw, carry, frame)
+                new_carry, out = step(variables, avg, im_hw, origin,
+                                      carry, frame)
                 keep = lambda n, o: jnp.where(
                     is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
                 sel = jax.tree.map(keep, new_carry, carry)
@@ -654,10 +673,126 @@ class BatchScanEngine(ScanEngine):
         true frame counts. Returns (state, pos (B,N,2), sz (B,N,2),
         score (B,N))."""
         pending = []  # defer D2H so host upload of chunk i+1 overlaps
+        zero_origin = jnp.zeros((self.batch, 2), jnp.float32)
         for nb, block_tb, valid in self._prep_chunks(frames_u8, n_valid):
             state, outs = self._chunk_fn(
                 self.variables, state, jnp.asarray(block_tb), valid,
-                self._avg_b, self._im_hw_b)
+                self._avg_b, self._im_hw_b, zero_origin)
+            pending.append((nb, outs))
+        return (state,) + self._collate(pending)
+
+    def _crop_window(self, pos, sz):
+        """Host mirror of the device crop geometry: returns the inclusive
+        pixel span [x0, x1], [y0, y1] the bilinear crop may tap for a
+        frame stepped from (pos, sz). +1 past the window for the second
+        bilinear tap."""
+        p = self.p
+        wc = sz[:, 0] + p.context_amount * (sz[:, 0] + sz[:, 1])
+        hc = sz[:, 1] + p.context_amount * (sz[:, 0] + sz[:, 1])
+        s_z = np.sqrt(wc * hc)
+        scale_z = p.exemplar_size / s_z
+        d_search = (p.instance_size - p.exemplar_size) / 2
+        s_x = np.round(s_z + 2 * d_search / scale_z)
+        x0 = np.round(pos[:, 0] - (s_x + 1.0) / 2.0)
+        y0 = np.round(pos[:, 1] - (s_x + 1.0) / 2.0)
+        return x0, x0 + s_x, y0, y0 + s_x
+
+    def track_batch_roi(self, state, frames_u8: np.ndarray,
+                        n_valid: np.ndarray, roi: int = 384,
+                        margin: float = 2.0):
+        """track_batch with ROI streaming: per chunk, upload only a
+        (roi x roi) window around each video's last known position
+        instead of the full canvas — the structural fix for streamed
+        tracking through slow host links (this dev tunnel moves ~25 MB/s;
+        full 480x640 frames cap ANY engine at ~25 fps).
+
+        Exactness is checked, not assumed: after each chunk returns, the
+        host recomputes every frame's crop-window span from the returned
+        trajectory (the window for frame t depends on the state AFTER
+        frame t-1) and checks (window [+margin] ∩ image) ⊆ ROI. A
+        violated chunk is REPLAYED from a saved carry with full frames.
+        Accepted chunks read the same pixels as track_batch; outputs
+        match up to f32 coordinate arithmetic (~1e-5 relative — the crop
+        center is expressed ROI-relative). Videos whose search window
+        exceeds the ROI simply replay every chunk (choose a bigger roi,
+        or track_batch).
+        """
+        b, n = frames_u8.shape[:2]
+        assert b == self.batch
+        H, W = frames_u8.shape[2], frames_u8.shape[3]
+        if roi >= min(H, W):
+            return self.track_batch(state, frames_u8, n_valid)
+        zero_origin = jnp.zeros((b, 2), jnp.float32)
+        im_hw = np.asarray(self._im_hw_b)                 # (B, 2) [h, w]
+        pos_h = np.asarray(state.pos, np.float64)         # sync snapshot
+        sz_h = np.asarray(state.sz, np.float64)
+        pending = []
+        self.roi_replays = 0
+        self.roi_chunks = 0
+        for i in range(0, n, self.chunk):
+            block = frames_u8[:, i:i + self.chunk]
+            nb = block.shape[1]
+            if nb < self.chunk:
+                pad = np.repeat(block[:, -1:], self.chunk - nb, axis=1)
+                block = np.concatenate([block, pad], axis=1)
+            t_idx = np.arange(self.chunk)[:, None] + i
+            valid = jnp.asarray(t_idx < n_valid[None, :])
+
+            # ROI origin per video: centered on last pos, clamped inside
+            ox = np.clip(np.round(pos_h[:, 0] - roi / 2), 0,
+                         np.maximum(W - roi, 0))
+            oy = np.clip(np.round(pos_h[:, 1] - roi / 2), 0,
+                         np.maximum(H - roi, 0))
+            roi_block = np.empty((self.chunk, b, roi, roi * 3), np.uint8)
+            for v in range(b):
+                xs, ys = int(ox[v]), int(oy[v])
+                roi_block[:, v] = block[v, :, ys:ys + roi,
+                                        xs:xs + roi].reshape(
+                    self.chunk, roi, roi * 3)
+            origin = jnp.asarray(np.stack([ox, oy], -1), jnp.float32)
+
+            # keep a pre-chunk carry for replay (chunk_fn donates input)
+            backup = jax.tree.map(lambda x: x + 0, state)
+            state2, outs = self._chunk_fn(
+                self.variables, state, jnp.asarray(roi_block), valid,
+                self._avg_b, self._im_hw_b, origin)
+            pos_np = np.asarray(outs[0], np.float64)      # (T, B, 2)
+            sz_np = np.asarray(outs[1], np.float64)
+            self.roi_chunks += 1
+
+            # validity: frame t's crop window comes from the state after
+            # frame t-1 (chunk-start state for t=0)
+            prev_pos = np.concatenate([pos_h[None], pos_np[:nb - 1]])
+            prev_sz = np.concatenate([sz_h[None], sz_np[:nb - 1]])
+            ok = True
+            valid_np = np.asarray(valid)
+            for t in range(nb):
+                x0, x1, y0, y1 = self._crop_window(prev_pos[t], prev_sz[t])
+                # clip the required span to the image: outside-image taps
+                # read avg either way
+                rx0 = np.maximum(x0 - margin, 0)
+                rx1 = np.minimum(x1 + margin, im_hw[:, 1] - 1)
+                ry0 = np.maximum(y0 - margin, 0)
+                ry1 = np.minimum(y1 + margin, im_hw[:, 0] - 1)
+                inside = (rx0 >= ox) & (rx1 <= ox + roi - 1) \
+                    & (ry0 >= oy) & (ry1 <= oy + roi - 1)
+                inside = inside | ~valid_np[t]  # finished videos: no req
+                if not inside.all():
+                    ok = False
+                    break
+            if not ok:
+                self.roi_replays += 1
+                block_tb = np.swapaxes(block, 0, 1)
+                block_tb = np.reshape(np.ascontiguousarray(block_tb),
+                                      block_tb.shape[:3] + (-1,))
+                state2, outs = self._chunk_fn(
+                    self.variables, backup, jnp.asarray(block_tb), valid,
+                    self._avg_b, self._im_hw_b, zero_origin)
+                pos_np = np.asarray(outs[0], np.float64)
+                sz_np = np.asarray(outs[1], np.float64)
+            state = state2
+            pos_h = pos_np[nb - 1]
+            sz_h = sz_np[nb - 1]
             pending.append((nb, outs))
         return (state,) + self._collate(pending)
 
@@ -680,9 +815,10 @@ class BatchScanEngine(ScanEngine):
         """Track pre-staged chunks (see stage_frames). Same returns as
         track_batch."""
         pending = []
+        zero_origin = jnp.zeros((self.batch, 2), jnp.float32)
         for nb, block_dev, valid in staged:
             state, outs = self._chunk_fn(
                 self.variables, state, block_dev, valid, self._avg_b,
-                self._im_hw_b)
+                self._im_hw_b, zero_origin)
             pending.append((nb, outs))
         return (state,) + self._collate(pending)
