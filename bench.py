@@ -65,7 +65,7 @@ def main():
     from usot_tpu.tracker.runner import ModelRunner
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "129"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     mode = os.environ.get("BENCH_MODE", "staged")
     use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"

@@ -154,16 +154,19 @@ def main():
                         init_feats=init_feats, mem_feat=mem_feat,
                         mem_conf=mem_conf, mem_idx=mem_idx, mem_len=mem_len)
 
+    origin_b = jnp.zeros((B, 2), jnp.float32)
+
     def f_full_native(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = engine._frame_step_batched(variables, avg, hw, st, frames)
+        new, out = engine._frame_step_batched(variables, avg, hw, origin_b,
+                                              st, frames)
         return jnp.sum(out[0]) * 1e-9
 
-    vstep = jax.vmap(engine._frame_step, in_axes=(None, 0, 0, 0, 0))
+    vstep = jax.vmap(engine._frame_step, in_axes=(None, 0, 0, 0, 0, 0))
 
     def f_full_vmap(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = vstep(variables, avg, hw, st, frames)
+        new, out = vstep(variables, avg, hw, origin_b, st, frames)
         return jnp.sum(out[0]) * 1e-9
 
     run("crop (u8 flat->255)", f_crop)
@@ -187,7 +190,7 @@ def main():
         def chunk(st0, fr, vd):
             def body(carry, xs):
                 frame, is_valid = xs
-                new, out = vstep(variables, avg, hw, carry, frame)
+                new, out = vstep(variables, avg, hw, origin_b, carry, frame)
                 if with_select:
                     keep = lambda n, o: jnp.where(
                         is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
@@ -218,7 +221,7 @@ def main():
         def fresh():
             return jax.tree.map(lambda x: x + 0, state) if donate else state
         st2, outs = jitted(variables, fresh(), frames_chunk, valid_chunk,
-                           avg, hw)
+                           avg, hw, origin_b)
         np.asarray(outs[0][0, 0])
         reps = []
         for _ in range(3):
@@ -226,7 +229,7 @@ def main():
             np.asarray(st_in.pos[0, 0])  # materialize copy outside timing
             t = time.perf_counter()
             st2, outs = jitted(variables, st_in, frames_chunk, valid_chunk,
-                               avg, hw)
+                               avg, hw, origin_b)
             np.asarray(outs[0][0, 0])
             reps.append((time.perf_counter() - t) / T * 1e3)
         print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)

@@ -110,6 +110,7 @@ def run_engine(args, big):
     avg = engine._avg_b
     hw = engine._im_hw_b
     valid = jnp.ones((CK, B), bool)
+    origin = jnp.zeros((B, 2), jnp.float32)
 
     def sync(tree):
         # block_until_ready is a no-op through this tunnel runtime; a
@@ -125,7 +126,7 @@ def run_engine(args, big):
           f"{time.perf_counter()-t:.2f}s")
     t = time.perf_counter()
     state2, outs = engine._chunk_fn(engine.variables, state, block_dev,
-                                    valid, avg, hw)
+                                    valid, avg, hw, origin)
     sync(outs)
     print(f"chunk compile+run: {time.perf_counter()-t:.1f}s")
 
@@ -133,7 +134,7 @@ def run_engine(args, big):
     for i in range(3):
         t = time.perf_counter()
         state2, outs = engine._chunk_fn(engine.variables, state2, block_dev,
-                                        valid, avg, hw)
+                                        valid, avg, hw, origin)
         sync(outs)
         dt = time.perf_counter() - t
         print(f"chunk device-only (try {i}): {dt:.2f}s "
