@@ -223,3 +223,42 @@ class TestScanCLILoop:
         for ln in lines:
             vals = [float(v) for v in ln.split(",")]
             assert len(vals) == 4 and all(np.isfinite(vals))
+
+
+class TestBatchedROICLILoop:
+    def test_track_dataset_batched_roi(self, tmp_path, runner_setup):
+        """engine=batch with --roi: ROI-streamed CLI results must equal
+        the full-frame CLI results (exactness replay end to end)."""
+        from usot_tpu.cli.test import parse_args, track_dataset_batched
+        from usot_tpu.data.benchmark import load_dataset
+
+        model, variables, runner = runner_setup
+        root = tmp_path / "datasets_test"
+        base = root / "OTB2015"
+        meta = {}
+        for i, vid in enumerate(("Roi1", "Roi2")):
+            names = _write_video_frames(str(base / vid / "img"), n=6,
+                                        seed=i)
+            gt = [[88, 108, 48, 48]] * 6
+            meta[vid] = {"video_dir": vid, "init_rect": gt[0],
+                         "img_names": [f"{vid}/img/{x}" for x in names],
+                         "gt_rect": gt, "attr": []}
+        with open(root / "OTB2015.json", "w") as f:
+            json.dump(meta, f)
+
+        dataset = load_dataset("OTB2015", str(root))
+        for tag, extra in (("full", []), ("roi", ["--roi", "312"])):
+            args = parse_args(["--dataset", "OTB2015", "--engine", "batch",
+                               "--batch", "2", "--chunk", "3",
+                               "--result_dir",
+                               str(tmp_path / f"result_{tag}")] + extra)
+            track_dataset_batched(model, variables, runner, dataset, args)
+
+        for vid in ("Roi1", "Roi2"):
+            a = (tmp_path / "result_full" / "OTB2015" / "USOT" /
+                 f"{vid}.txt").read_text().splitlines()
+            b = (tmp_path / "result_roi" / "OTB2015" / "USOT" /
+                 f"{vid}.txt").read_text().splitlines()
+            ra = np.array([[float(v) for v in ln.split(",")] for ln in a])
+            rb = np.array([[float(v) for v in ln.split(",")] for ln in b])
+            np.testing.assert_allclose(ra, rb, atol=1e-2)
