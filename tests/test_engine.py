@@ -254,3 +254,42 @@ class TestROIStreaming:
         # all-replayed chunks ARE bit-identical (full-frame path)
         np.testing.assert_allclose(pos_t, pos_f, atol=1e-5)
         assert batch.roi_replays == batch.roi_chunks
+
+
+class TestMultiChipTracking:
+    def test_mesh_sharded_matches_unsharded(self, setup):
+        """Lockstep tracking sharded over an 8-device 'data' mesh must
+        match the single-device engine (pure data parallelism: no
+        collectives in the step)."""
+        from usot_tpu.parallel.mesh import make_mesh
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=6)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+        fb = np.stack([np.stack(frames[1:])] * 8)
+        nv = np.full(8, 5)
+        videos = [(frames[0], np.array(centers[0], float),
+                   np.array([48.0, 48.0]))] * 8
+
+        plain = BatchScanEngine(model, variables, p, canvas_h=H,
+                                canvas_w=W, batch=8, max_frames=16,
+                                chunk=3)
+        st = plain.init_batch(videos, runner)
+        _, pos_p, sz_p, _ = plain.track_batch(st, fb, n_valid=nv)
+
+        mesh = make_mesh(n_data=8)
+        sharded = BatchScanEngine(model, variables, p, canvas_h=H,
+                                  canvas_w=W, batch=8, max_frames=16,
+                                  chunk=3, mesh=mesh)
+        st = sharded.init_batch(videos, runner)
+        _, pos_s, sz_s, _ = sharded.track_batch(st, fb, n_valid=nv)
+
+        # SPMD compiles a per-device-batch program: f32 rounding shifts
+        # by ~1e-6 relative vs the single-device program
+        np.testing.assert_allclose(pos_s, pos_p, atol=2e-3)
+        np.testing.assert_allclose(sz_s, sz_p, atol=2e-3)

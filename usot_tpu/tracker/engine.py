@@ -432,17 +432,39 @@ class BatchScanEngine(ScanEngine):
                  canvas_h: int, canvas_w: int, batch: int,
                  max_frames: int = 2048, chunk: int = 32,
                  impl: str = "vmap", unroll: int = 1,
-                 crop_impl: str = "auto"):
-        """impl: 'vmap' maps the single-video step over videos (grouped
-        convs stay at 256 feature groups — fast lowering on current
-        toolchains); 'native' feeds the net real (B, ...) batches (grouped
-        conv with B*256 groups — compiles/runs poorly on the current XLA
-        backend, kept for future toolchains)."""
+                 crop_impl: str = "auto", mesh=None):
+        """impl: 'vmap' maps the single-video step over videos; 'native'
+        feeds the net real (B, ...) batches — equal speed with the fused
+        Pallas correlation (PERF_NOTES.md).
+
+        mesh: optional jax.sharding.Mesh with a 'data' axis. Tracking is
+        embarrassingly data-parallel over videos: the lockstep batch dim
+        shards across chips (frames, carry, per-video constants all
+        split on 'data'; variables replicated); XLA SPMD needs no
+        collectives in the step, so throughput scales with the mesh.
+        batch must divide by the mesh's data-axis size."""
         self.batch = batch
         self.impl = impl
+        self.mesh = mesh
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
                          max_frames=max_frames, chunk=chunk, unroll=unroll,
                          crop_impl=crop_impl)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            assert batch % mesh.shape["data"] == 0, \
+                "batch must divide the data-axis size"
+            rep = NamedSharding(mesh, P())
+            b0 = NamedSharding(mesh, P("data"))     # batch-leading arrays
+            b1 = NamedSharding(mesh, P(None, "data"))  # (T, B, ...) arrays
+            self._shard_rep = rep
+            self._shard_b0 = b0
+            self._shard_b1 = b1
+            self.variables = jax.device_put(variables, rep)
+            carry_sh = EngineState(*([b0] * len(EngineState._fields)))
+            self._chunk_fn = jax.jit(
+                self._make_chunk_fn(), donate_argnums=(1,),
+                in_shardings=(rep, carry_sh, b1, b1, b0, b0, b0),
+                out_shardings=(carry_sh, (b1, b1, b1)))
 
     def _frame_step_batched(self, variables, avg_b, im_hw_b, origin_b,
                             carry, frames):
