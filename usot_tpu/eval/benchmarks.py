@@ -384,17 +384,59 @@ class F1Benchmark:
             f1[video.name] = f1_
         return precision, recall, f1
 
-    def show_result(self, result):
-        header = f"|{'Tracker name':^20}|{'Precision':^11}|{'Recall':^8}|" \
-                 f"{'F1':^7}|"
-        print("-" * len(header))
-        print(header)
-        print("-" * len(header))
+    def show_result(self, result, show_video_level=False,
+                    helight_threshold=0.5):
+        """Pretty-print: trackers sorted by best-threshold F1 (top 20);
+        optional per-video table (ref: f1_benchmark.py show_result)."""
+        summary = {}
         for name, ret in result.items():
             precision = np.mean(list(ret["precision"].values()), axis=0)
             recall = np.mean(list(ret["recall"].values()), axis=0)
             f1 = 2 * precision * recall / (precision + recall + 1e-16)
             max_idx = np.argmax(f1)
-            print(f"|{name:^20}|{precision[max_idx]:^11.3f}|"
-                  f"{recall[max_idx]:^8.3f}|{f1[max_idx]:^7.3f}|")
+            summary[name] = (precision[max_idx], recall[max_idx],
+                             f1[max_idx])
+        names = [x[0] for x in sorted(summary.items(),
+                                      key=lambda x: x[1][2],
+                                      reverse=True)[:20]]
+        name_len = max(max(len(x) for x in result) + 2, 12)
+        header = f"|{{:^{name_len}}}|{'Precision':^11}|{'Recall':^8}|" \
+                 f"{'F1':^7}|"
+        header = header.format("Tracker name")
         print("-" * len(header))
+        print(header)
+        print("-" * len(header))
+        for name in names:
+            pr, rc, f1v = summary[name]
+            print(f"|{name:^{name_len}}|{pr:^11.3f}|{rc:^8.3f}|"
+                  f"{f1v:^7.3f}|")
+        print("-" * len(header))
+
+        if show_video_level and len(result) < 10:
+            print("\n\n")
+            header1 = f"|{'Tracker name':^14}|"
+            header2 = f"|{'Video name':^14}|"
+            for name in result:
+                header1 += f"{name:^28}|"
+                header2 += f"{'Precision':^11}|{'Recall':^8}|{'F1':^7}|"
+            print("-" * len(header1))
+            print(header1)
+            print("-" * len(header1))
+            print(header2)
+            print("-" * len(header1))
+            red = "\033[31m{}\033[0m"
+            videos = list(result[next(iter(result))]["precision"].keys())
+            for video in videos:
+                row = f"|{video:^14}|"
+                for name in result:
+                    f1 = np.asarray(result[name]["f1"][video])
+                    max_idx = int(np.argmax(f1))
+                    pr = result[name]["precision"][video][max_idx]
+                    rc = result[name]["recall"][video][max_idx]
+                    f1v = f1[max_idx]
+                    for val, w in ((pr, 11), (rc, 8), (f1v, 7)):
+                        s = f"{val:^{w}.3f}"
+                        row += (red.format(s)
+                                if val < helight_threshold else s) + "|"
+                print(row)
+            print("-" * len(header1))
