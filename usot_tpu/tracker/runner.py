@@ -22,14 +22,22 @@ class ModelRunner:
         self.variables = jax.device_put(dict(variables))
         self.mem_queue_size = mem_queue_size
 
+        # Image inputs travel channel-flat (B, H, W*3): an (.., 3) minor
+        # dim pads 3 -> 128 lanes in the TPU tiled layout — a 42x
+        # transfer blowup through the host link (see core/crop.py).
+        def _unflat(x_flat):
+            b, h = x_flat.shape[0], x_flat.shape[1]
+            return x_flat.reshape(b, h, x_flat.shape[2] // 3, 3)
+
         @jax.jit
-        def _template(variables, z, tb):
-            return model.apply(variables, z, tb,
+        def _template(variables, z_flat, tb):
+            return model.apply(variables, _unflat(z_flat), tb,
                                method=USOTNet.template_features)
 
         @jax.jit
-        def _search_features(variables, x):
-            return model.apply(variables, x, method=USOTNet.search_features)
+        def _search_features(variables, x_flat):
+            return model.apply(variables, _unflat(x_flat),
+                               method=USOTNet.search_features)
 
         @jax.jit
         def _track_offline(variables, xf, zf):
@@ -59,14 +67,19 @@ class ModelRunner:
 
     # -- host API (numpy in / numpy-or-device out) --
 
+    @staticmethod
+    def _flat(x_bhwc: np.ndarray):
+        x = np.ascontiguousarray(x_bhwc, dtype=np.float32)
+        return jnp.asarray(x.reshape(x.shape[0], x.shape[1], -1))
+
     def template(self, z_hwc: np.ndarray, template_bbox):
-        z = jnp.asarray(z_hwc, jnp.float32)[None]
         tb = jnp.asarray(template_bbox, jnp.float32).reshape(1, 4)
-        return self._template(self.variables, z, tb)
+        return self._template(self.variables,
+                              self._flat(np.asarray(z_hwc)[None]), tb)
 
     def search_features(self, x_hwc: np.ndarray):
-        x = jnp.asarray(x_hwc, jnp.float32)[None]
-        return self._search_features(self.variables, x)
+        return self._search_features(self.variables,
+                                     self._flat(np.asarray(x_hwc)[None]))
 
     def track_offline(self, xf, zf):
         cls, bbox = self._track_offline(self.variables, xf, zf)
@@ -86,13 +99,11 @@ class ModelRunner:
     # -- batched variants (one dispatch per lockstep group, not per video) --
 
     def template_batch(self, z_bhwc: np.ndarray, template_bbox_b4):
-        z = jnp.asarray(z_bhwc, jnp.float32)
         tb = jnp.asarray(template_bbox_b4, jnp.float32)
-        return self._template(self.variables, z, tb)
+        return self._template(self.variables, self._flat(z_bhwc), tb)
 
     def extract_memory_feature_batch(self, x_bhwc: np.ndarray,
                                      search_bbox_b4):
-        x = jnp.asarray(x_bhwc, jnp.float32)
         sb = jnp.asarray(search_bbox_b4, jnp.float32)
-        xf = self._search_features(self.variables, x)
+        xf = self._search_features(self.variables, self._flat(x_bhwc))
         return self._pool_memory(self.variables, xf, sb)
