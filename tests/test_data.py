@@ -71,6 +71,16 @@ class TestUSOTDataset:
         assert np.all(item["search_bbox"] >= 0)
         assert np.all(item["search_bbox"] <= 24)
 
+    def test_bbox_clip_non_square(self):
+        """x clips against width, y against height (VERDICT r2 weak-#5)."""
+        from usot_tpu.data.dataset import _clip_bbox_to_image
+        # wide image: H=100, W=300
+        b = _clip_bbox_to_image([250.0, 150.0, 400.0, -5.0], (100, 300, 3))
+        assert (b.x1, b.y1, b.x2, b.y2) == (250.0, 100.0, 300.0, 0.0)
+        # tall image: H=300, W=100
+        b = _clip_bbox_to_image([250.0, 150.0, -7.0, 400.0], (300, 100, 3))
+        assert (b.x1, b.y1, b.x2, b.y2) == (100.0, 150.0, 0.0, 300.0)
+
     def test_labels_consistent_with_bbox(self, synth_dataset):
         ds = USOTDataset(synth_dataset, seed=2)
         ds.cycle_memory = False

@@ -170,6 +170,66 @@ class TestVOT2020Masks:
         assert full.shape == (120, 100)
         assert full[:50, :60].all() and not full[60:, 70:].any()
 
+    def test_trax_mask_report_path(self, monkeypatch):
+        """VOT2020 protocol: a mask init region arrives as an ndarray and
+        ndarray reports go out as trax Masks (ref vot.py:52-53,84-85)."""
+        import sys
+        import types
+
+        statuses = []
+
+        class FakeMask:
+            @staticmethod
+            def create(arr):
+                return ("mask", np.asarray(arr))
+
+        class FakeMaskRegion(FakeMask):
+            # subclass so `isinstance(request.region, trax.Mask)` holds
+            def array(self, full):
+                assert full is True
+                return np.ones((4, 5), np.uint8)
+
+        class FakeRect:
+            @staticmethod
+            def create(x, y, w, h):
+                return ("rect", (x, y, w, h))
+
+        class FakeServer:
+            def __init__(self, formats, images, channels):
+                assert formats == ["mask"]
+
+            def wait(self):
+                req = types.SimpleNamespace()
+                req.type = "initialize"
+                req.region = FakeMaskRegion()
+                req.image = {"color": types.SimpleNamespace(
+                    path=lambda: "/tmp/f0.jpg")}
+                return req
+
+            def status(self, region, properties=None):
+                statuses.append((region, properties))
+
+        fake = types.SimpleNamespace(
+            Region=types.SimpleNamespace(RECTANGLE="rectangle",
+                                         POLYGON="polygon", MASK="mask"),
+            Image=types.SimpleNamespace(PATH="path"),
+            Polygon=type("P", (), {}), Mask=FakeMask, Rectangle=FakeRect,
+            Server=FakeServer)
+        monkeypatch.setitem(sys.modules, "trax", fake)
+
+        from usot_tpu.cli.vot_wrapper import VOT
+        handle = VOT("mask")
+        region = handle.region()
+        assert isinstance(region, np.ndarray) and region.shape == (4, 5)
+
+        mask = np.zeros((6, 7), np.uint8)
+        mask[1:3, 2:5] = 1
+        handle.report(mask, confidence=0.7)
+        kind, payload = statuses[-1][0]
+        assert kind == "mask"
+        np.testing.assert_array_equal(payload, mask)
+        assert statuses[-1][1] == {"confidence": 0.7}
+
 
 class TestProhibitAndWindowing:
     def test_prohibit_filter(self, tmp_path):

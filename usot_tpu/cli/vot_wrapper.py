@@ -71,7 +71,8 @@ class VOT:
                 "the `trax` package is required for VOT-toolkit integration; "
                 "install it inside the vot workspace environment") from e
 
-        assert region_format in (trax.Region.RECTANGLE, trax.Region.POLYGON)
+        assert region_format in (trax.Region.RECTANGLE, trax.Region.POLYGON,
+                                 trax.Region.MASK)
         if channels is None:
             channels = ["color"]
         self._trax = trax
@@ -82,6 +83,10 @@ class VOT:
         if isinstance(request.region, trax.Polygon):
             self._region = Polygon([Point(x[0], x[1])
                                     for x in request.region])
+        elif isinstance(request.region, trax.Mask):
+            # VOT2020 initializes with a segmentation mask
+            # (ref: scripts/vot.py:52-53)
+            self._region = request.region.array(True)
         else:
             self._region = Rectangle(*request.region.bounds())
         self._image = [x.path() for k, x in request.image.items()]
@@ -93,10 +98,16 @@ class VOT:
         return self._region
 
     def report(self, region, confidence=None):
+        """Report a Rectangle, Polygon, or binary-mask ndarray. (The
+        reference's vot.py:79-86 if/if/else chain clobbers Polygon
+        reports with a Rectangle attribute error; this is the intended
+        elif semantics.)"""
         trax = self._trax
-        assert isinstance(region, (Rectangle, Polygon))
+        assert isinstance(region, (Rectangle, Polygon, np.ndarray))
         if isinstance(region, Polygon):
             tregion = trax.Polygon.create([(x.x, x.y) for x in region.points])
+        elif isinstance(region, np.ndarray):
+            tregion = trax.Mask.create(region)
         else:
             tregion = trax.Rectangle.create(region.x, region.y, region.width,
                                             region.height)
@@ -121,7 +132,15 @@ class VOT:
             self._handle.quit()
 
 
-def run(ckpt_path: str = "var/snapshot/USOT_star.pth"):
+def run(ckpt_path: str = "var/snapshot/USOT_star.pth",
+        region_format: str = "rectangle"):
+    """Track one TraX-served sequence.
+
+    region_format="mask" is the VOT2020 protocol: initialize from the
+    provided segmentation mask's bounding rectangle and report each
+    prediction as a full-frame binary mask (the rect filled — USOT is a
+    box tracker; ref mask plumbing: scripts/vot.py:52-53,84-85 and the
+    mask<->rect helpers in scripts/test_vot2020.py:21-69)."""
     import jax
 
     from usot_tpu.core.geometry import cxy_wh_2_rect, get_axis_aligned_bbox
@@ -140,15 +159,20 @@ def run(ckpt_path: str = "var/snapshot/USOT_star.pth"):
     runner = ModelRunner(model, variables)
     tracker = USOTTracker()
 
-    handle = VOT("rectangle")
+    use_mask = region_format == "mask"
+    handle = VOT(region_format)
     region = handle.region()
     image_file = handle.frame()
     if not image_file:
         sys.exit(0)
 
     im = cv2.imread(image_file)
-    cx, cy, w, h = get_axis_aligned_bbox(
-        np.array([region.x, region.y, region.width, region.height]))
+    if use_mask:
+        mask = make_full_size(np.asarray(region), (im.shape[1], im.shape[0]))
+        cx, cy, w, h = rect_from_mask(mask)
+    else:
+        cx, cy, w, h = get_axis_aligned_bbox(
+            np.array([region.x, region.y, region.width, region.height]))
     state = tracker.init(im, np.array([cx, cy]), np.array([w, h]), runner)
 
     while True:
@@ -158,10 +182,16 @@ def run(ckpt_path: str = "var/snapshot/USOT_star.pth"):
         im = cv2.imread(image_file)
         state = tracker.track(state, im)
         rect = cxy_wh_2_rect(state["target_pos"], state["target_sz"])
-        handle.report(Rectangle(rect[0], rect[1], rect[2], rect[3]),
-                      state.get("cls_score", 1.0))
+        conf = state.get("cls_score", 1.0)
+        if use_mask:
+            handle.report(mask_from_rect(rect, (im.shape[1], im.shape[0])),
+                          conf)
+        else:
+            handle.report(Rectangle(rect[0], rect[1], rect[2], rect[3]),
+                          conf)
     handle.quit()
 
 
 if __name__ == "__main__":
-    run(sys.argv[1] if len(sys.argv) > 1 else "var/snapshot/USOT_star.pth")
+    run(sys.argv[1] if len(sys.argv) > 1 else "var/snapshot/USOT_star.pth",
+        sys.argv[2] if len(sys.argv) > 2 else "rectangle")

@@ -79,11 +79,11 @@ def xcorr_groupdw(xs, ks, use_pallas: bool | None = None):
 
     use_pallas=None resolves by backend: the Pallas kernel on TPU
     (measured 5.45 ms vs 12.1 ms for repeat+shift at B=32, M=7 —
-    PERF_NOTES.md), the interpreter on other backends (slow; only for
-    parity tests — production CPU paths keep the module default
-    fused_xcorr=False and never reach here)."""
+    PERF_NOTES.md); elsewhere the XLA repeat+pairwise route (Pallas
+    interpret mode is orders of magnitude slower — pass use_pallas=True
+    explicitly in parity tests that exercise the kernel on CPU)."""
     if use_pallas is None:
-        use_pallas = True  # interpret-mode fallback keeps CPU tests honest
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from usot_tpu.ops.pallas.xcorr_kernel import xcorr_groupdw_pallas
         interpret = jax.default_backend() != "tpu"
