@@ -24,6 +24,24 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Modules whose tests compile full USOT models (multi-minute on this
+# 1-core host). `pytest -m "not slow"` gives a quick logic/parity suite.
+_SLOW_MODULES = {
+    "test_engine", "test_train", "test_train_cli", "test_integration",
+    "test_torch_parity", "test_reference_parity", "test_tracker",
+    "test_model", "test_convert",
+}
+# Fast exceptions inside slow modules (pure ring/bookkeeping logic).
+_FAST_CLASSES = {"TestMemoryRing", "TestMemoryRingLongVideo"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.cls is not None and item.cls.__name__ in _FAST_CLASSES:
+            continue
+        if item.module.__name__.split(".")[-1] in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -180,6 +180,163 @@ class TestReportingPolish:
         assert attr["ALL"] == ["a", "b", "c"]
         assert attr["IV"] == ["a", "b"] and attr["OCC"] == ["a"]
 
+    def test_got10k_trackingnet_datasets(self, tmp_path):
+        import json
+
+        from usot_tpu.eval.datasets import (GOT10kDataset,
+                                            TrackingNetDataset,
+                                            create_dataset)
+
+        meta = {"seq-1": {
+            "video_dir": "seq-1",
+            "init_rect": [10, 10, 30, 30],
+            "img_names": ["seq-1/00000001.jpg", "seq-1/00000002.jpg"],
+            "gt_rect": [[10, 10, 30, 30], [12, 11, 30, 30]],
+        }}
+        for name, cls in (("GOT10KVAL", GOT10kDataset),
+                          ("TRACKINGNET", TrackingNetDataset)):
+            (tmp_path / f"{name}.json").write_text(json.dumps(meta))
+            ds = create_dataset(name, str(tmp_path))
+            assert isinstance(ds, cls)
+            assert len(ds) == 1 and ds["seq-1"].gt_traj[1] == [12, 11, 30, 30]
+            assert ds.attr["ALL"] == ["seq-1"]
+
+    def test_eval_parallel_matches_sequential(self, tmp_path):
+        """--num N fans per-tracker evals over threads; results must merge
+        to exactly the sequential output (ref bin/eval.py:39-48)."""
+        import json
+
+        from usot_tpu.cli.evaluate import _eval_parallel
+        from usot_tpu.eval.benchmarks import OPEBenchmark
+        from usot_tpu.eval.datasets import create_dataset
+
+        rng = np.random.default_rng(5)
+        gt = rng.uniform(5, 40, (12, 2)).tolist()
+        meta = {"v1": {
+            "video_dir": "v1",
+            "init_rect": [10, 10, 30, 30],
+            "img_names": [f"v1/{i:04d}.jpg" for i in range(12)],
+            "gt_rect": [[g[0], g[1], 30, 30] for g in gt],
+        }}
+        (tmp_path / "OTBmini.json").write_text(json.dumps(meta))
+        results = tmp_path / "results"
+        for trk in ("trkA", "trkB", "trkC"):
+            d = results / trk
+            d.mkdir(parents=True)
+            noise = rng.uniform(-3, 3, (12, 2))
+            lines = [",".join(f"{v:.2f}" for v in
+                              [g[0] + n[0], g[1] + n[1], 30, 30])
+                     for g, n in zip(gt, noise)]
+            (d / "v1.txt").write_text("\n".join(lines))
+
+        ds = create_dataset("OTBmini", str(tmp_path))
+        ds.set_tracker(str(results), ["trkA", "trkB", "trkC"])
+        ope = OPEBenchmark(ds)
+        seq = ope.eval_success(["trkA", "trkB", "trkC"])
+        par = _eval_parallel(ope.eval_success, ["trkA", "trkB", "trkC"], 3)
+        assert set(par) == set(seq)
+        for t in seq:
+            np.testing.assert_array_equal(par[t]["v1"], seq[t]["v1"])
+
+    def test_eao_matches_toolkit_loop(self):
+        """The restructured fragment bookkeeping must produce EAO
+        identical to the VOT toolkit's per-tag loop (ref:
+        pysot/evaluation/eao_benchmark.py:89-162), including the
+        last-video seq_weight quirk and the NaN-handling asymmetry
+        between broken and unbroken trajectories."""
+        from usot_tpu.eval.benchmarks import EAOBenchmark
+
+        rng = np.random.default_rng(11)
+
+        class FakeVideo:
+            def __init__(self, n):
+                self.tags = {"all": [1] * n,
+                             "occlusion": rng.integers(0, 2, n).tolist()}
+
+            def select_tag(self, tag, start=0, end=0):
+                return self.tags[tag][start:end]
+
+        class FakeDataset(dict):
+            pass
+
+        n_frames = [40, 25, 33]
+        videos = {f"v{i}": FakeVideo(n) for i, n in enumerate(n_frames)}
+        ds = FakeDataset(videos)
+        bench = EAOBenchmark.__new__(EAOBenchmark)
+        bench.dataset = ds
+        bench.skipping = 5
+        bench.low, bench.high, bench.peak = 3, 30, 10
+        bench.tags = ["all", "occlusion"]
+
+        # synthetic overlaps with NaNs (burnin) and failures
+        all_overlaps, all_failures, names, lens = [], [], [], []
+        for i, n in enumerate(n_frames):
+            ov = rng.uniform(0, 1, n)
+            ov[:2] = np.nan
+            all_overlaps.append(ov.tolist())
+            all_failures.append([7, 20] if i != 1 else [])
+            names.append(f"v{i}")
+            lens.append(n)
+
+        got = bench._eao_from_parts(names, lens, all_failures, all_overlaps,
+                                    1, ["all", "occlusion"])
+        want = self._toolkit_oracle(bench, names, lens, all_failures,
+                                    all_overlaps, ["all", "occlusion"])
+        for tag in ("all", "occlusion"):
+            assert got[tag] == pytest.approx(want[tag], abs=1e-12)
+
+    @staticmethod
+    def _toolkit_oracle(bench, names, lens, fails, ovs, tags):
+        """Literal transcription of the VOT toolkit per-tag fragment loop
+        (ref: pysot/evaluation/eao_benchmark.py:89-162) as the numeric
+        oracle for the restructured implementation."""
+        fragment_num = sum(len(x) + 1 for x in fails)
+        max_len = max(len(x) for x in ovs)
+        seq_weight = 1.0  # one repetition per video
+        eao = {}
+        for tag in tags:
+            fweights = np.full(fragment_num, np.nan)
+            fragments = np.full((fragment_num, max_len), np.nan)
+            seg = 0
+            for name, traj_len, failures, overlaps in zip(names, lens,
+                                                          fails, ovs):
+                if len(failures) > 0:
+                    points = [0] + [f + bench.skipping for f in failures
+                                    if f + bench.skipping <= len(overlaps)]
+                    for i in range(len(points)):
+                        last = i == len(points) - 1
+                        if not last:
+                            frag = np.array(
+                                overlaps[points[i]:points[i + 1] + 1])
+                            fragments[seg, :] = 0
+                        else:
+                            frag = np.array(overlaps[points[i]:])
+                        frag[np.isnan(frag)] = 0
+                        fragments[seg, :len(frag)] = frag
+                        if not last:
+                            tv = bench.dataset[name].select_tag(
+                                tag, points[i], points[i + 1] + 1)
+                            w = sum(tv) / (points[i + 1] - points[i] + 1)
+                        else:
+                            tv = bench.dataset[name].select_tag(
+                                tag, points[i], len(overlaps))
+                            w = sum(tv) / (traj_len - points[i] + 1e-16)
+                        fweights[seg] = seq_weight * w
+                        seg += 1
+                else:
+                    m = min(len(overlaps), max_len)
+                    fragments[seg, :m] = overlaps[:m]
+                    tv = bench.dataset[name].select_tag(tag, 0, m)
+                    fweights[seg] = seq_weight * sum(tv) / m
+                    seg += 1
+            from usot_tpu.eval.statistics import calculate_expected_overlap
+            exp = calculate_expected_overlap(fragments, fweights)
+            weight = np.zeros(len(exp))
+            weight[bench.low - 1:bench.high] = 1
+            ok = np.logical_not(np.isnan(exp))
+            eao[tag] = np.sum(exp[ok] * weight[ok]) / np.sum(weight[ok])
+        return eao
+
     def test_eao_radar(self, tmp_path):
         from usot_tpu.eval.visualization import draw_eao
 

@@ -27,11 +27,31 @@ def parse_args(argv=None):
                         help="per-video result table (ref eval.py flag)")
     parser.add_argument("--plot_dir", default="var/plots",
                         help="where --vis writes figures")
+    parser.add_argument("--num", type=int, default=1,
+                        help="parallel workers over trackers "
+                        "(ref bin/eval.py --num)")
     return parser.parse_args(argv)
 
 
+def _eval_parallel(fn, trackers, num: int):
+    """Fan an eval method out over trackers (ref: bin/eval.py:39-48
+    Pool.imap_unordered). Threads rather than processes: the statistics
+    kernels are vectorized NumPy (GIL released) and results merge as
+    plain dicts."""
+    if num <= 1 or len(trackers) <= 1:
+        return fn(trackers)
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = {}
+    with ThreadPoolExecutor(min(num, len(trackers))) as ex:
+        for ret in ex.map(lambda t: fn([t]), trackers):
+            out.update(ret)
+    return out
+
+
 def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers,
-             vis=False, show_video_level=False, plot_dir="var/plots"):
+             vis=False, show_video_level=False, plot_dir="var/plots",
+             num=1):
     import os
 
     dataset = create_dataset(dataset_name, dataset_dir)
@@ -41,11 +61,11 @@ def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers,
 
     if "VOT" in dataset_name and "LT" not in dataset_name:
         ar = AccuracyRobustnessBenchmark(dataset)
-        ar_result = ar.eval(trackers)
+        ar_result = _eval_parallel(ar.eval, trackers, num)
         # per-attribute EAO when plotting the radar, 'all' otherwise
         tags = tuple(dataset.tags) if vis else ("all",)
         eao = EAOBenchmark(dataset, tags=tags)
-        eao_result = eao.eval(trackers)
+        eao_result = _eval_parallel(eao.eval, trackers, num)
         ar.show_result(ar_result, eao_result,
                        show_video_level=show_video_level)
         if vis:
@@ -56,7 +76,7 @@ def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers,
 
     if "LT" in dataset_name:
         f1 = F1Benchmark(dataset)
-        f1_result = f1.eval(trackers)
+        f1_result = _eval_parallel(f1.eval, trackers, num)
         f1.show_result(f1_result)
         if vis:
             from usot_tpu.eval.visualization import draw_f1
@@ -65,9 +85,9 @@ def evaluate(dataset_name, dataset_dir, tracker_result_dir, trackers,
         return {"f1": f1_result}
 
     ope = OPEBenchmark(dataset)
-    success = ope.eval_success(trackers)
-    precision = ope.eval_precision(trackers)
-    norm_precision = ope.eval_norm_precision(trackers)
+    success = _eval_parallel(ope.eval_success, trackers, num)
+    precision = _eval_parallel(ope.eval_precision, trackers, num)
+    norm_precision = _eval_parallel(ope.eval_norm_precision, trackers, num)
     ope.show_result(success, precision, norm_precision,
                     show_video_level=show_video_level)
     if vis:
@@ -90,7 +110,7 @@ def main(argv=None):
     evaluate(args.dataset, args.dataset_dir, args.tracker_result_dir,
              args.trackers, vis=args.vis,
              show_video_level=args.show_video_level,
-             plot_dir=args.plot_dir)
+             plot_dir=args.plot_dir, num=args.num)
 
 
 if __name__ == "__main__":

@@ -282,47 +282,69 @@ class EAOBenchmark:
                 failures = calculate_failures(traj)[1]
                 all_overlaps.append(overlaps)
                 all_failures.append(failures)
+        return self._eao_from_parts(video_names, gt_traj_length,
+                                    all_failures, all_overlaps,
+                                    len(trajs), tags)
+
+    def _eao_from_parts(self, video_names, gt_traj_length, all_failures,
+                        all_overlaps, last_traj_count, tags):
+        """EAO from gathered per-trajectory overlaps/failures (split out
+        so the fragment math is testable without disk results)."""
         fragment_num = sum(len(x) + 1 for x in all_failures)
         max_len = max(len(x) for x in all_overlaps)
-        seq_weight = 1 / len(trajs)
+        # Upstream pysot quirk, KEPT for numeric parity: the per-sequence
+        # weight uses the repetition count of the LAST loaded video, not
+        # a per-video count. Do not "fix" this without also changing the
+        # reference A/B harness — EAO numbers must match the toolkit.
+        seq_weight = 1 / last_traj_count
+
+        # A trajectory splits into fragments at each failure: tracking
+        # restarts `skipping` frames after a failure, and each non-final
+        # fragment also includes the failure frame itself (+1). The
+        # fragment VALUE matrix is tag-independent — build it once; only
+        # the per-fragment tag weights vary across tags.
+        #
+        # Row fill rules (VOT toolkit semantics): non-final fragments are
+        # zero-padded to max_len and NaN overlaps inside them become 0;
+        # the final fragment of a failing trajectory keeps NaN padding
+        # past its end (0 inside); an unbroken trajectory is copied
+        # verbatim, NaNs and all.
+        fragments = np.full((fragment_num, max_len), np.nan)
+        spans = []  # one (kind, video, start, end, denom) per row
+        row = 0
+        for name, traj_len, failures, overlaps in zip(
+                video_names, gt_traj_length, all_failures, all_overlaps):
+            n_ov = len(overlaps)
+            if not failures:
+                max_idx = min(n_ov, max_len)
+                fragments[row, :max_idx] = overlaps[:max_idx]
+                spans.append(("unbroken", name, 0, max_idx, max_idx))
+                row += 1
+                continue
+            restarts = [0] + [f + self.skipping for f in failures
+                              if f + self.skipping <= n_ov]
+            for i, start in enumerate(restarts):
+                if i < len(restarts) - 1:
+                    end = restarts[i + 1] + 1
+                    frag = np.nan_to_num(
+                        np.asarray(overlaps[start:end], float))
+                    fragments[row, :] = 0.0
+                    spans.append(("mid", name, start, end, end - start))
+                else:
+                    frag = np.nan_to_num(
+                        np.asarray(overlaps[start:], float))
+                    spans.append(("final", name, start, n_ov,
+                                  traj_len - start + 1e-16))
+                fragments[row, :len(frag)] = frag
+                row += 1
 
         eao = {}
         for tag in tags:
-            fweights = np.ones(fragment_num) * np.nan
-            fragments = np.ones((fragment_num, max_len)) * np.nan
-            seg_counter = 0
-            for name, traj_len, failures, overlaps in zip(
-                    video_names, gt_traj_length, all_failures, all_overlaps):
-                if len(failures) > 0:
-                    points = [x + self.skipping for x in failures
-                              if x + self.skipping <= len(overlaps)]
-                    points.insert(0, 0)
-                    for i in range(len(points)):
-                        if i != len(points) - 1:
-                            fragment = np.array(
-                                overlaps[points[i]:points[i + 1] + 1])
-                            fragments[seg_counter, :] = 0
-                        else:
-                            fragment = np.array(overlaps[points[i]:])
-                        fragment[np.isnan(fragment)] = 0
-                        fragments[seg_counter, :len(fragment)] = fragment
-                        if i != len(points) - 1:
-                            tag_value = self.dataset[name].select_tag(
-                                tag, points[i], points[i + 1] + 1)
-                            w = sum(tag_value) / (points[i + 1] - points[i] + 1)
-                        else:
-                            tag_value = self.dataset[name].select_tag(
-                                tag, points[i], len(overlaps))
-                            w = sum(tag_value) / (traj_len - points[i] + 1e-16)
-                        fweights[seg_counter] = seq_weight * w
-                        seg_counter += 1
-                else:
-                    max_idx = min(len(overlaps), max_len)
-                    fragments[seg_counter, :max_idx] = overlaps[:max_idx]
-                    tag_value = self.dataset[name].select_tag(tag, 0, max_idx)
-                    fweights[seg_counter] = seq_weight * sum(tag_value) / max_idx
-                    seg_counter += 1
-
+            fweights = np.empty(fragment_num)
+            for r, (kind, name, start, end, denom) in enumerate(spans):
+                tag_frac = sum(self.dataset[name].select_tag(
+                    tag, start, end)) / denom
+                fweights[r] = seq_weight * tag_frac
             expected_overlaps = calculate_expected_overlap(fragments, fweights)
             weight = np.zeros(len(expected_overlaps))
             weight[self.low - 1:self.high] = 1

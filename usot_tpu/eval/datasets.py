@@ -183,6 +183,29 @@ class NFSDataset(OTBDataset):
     pass
 
 
+class GOT10kDataset(BaseDataset):
+    """GOT-10k eval-side wrapper (ref: pysot/datasets/got10k.py:51-76).
+    Images resolve against the dataset root itself; only the 'ALL'
+    attribute group exists."""
+
+    def __init__(self, name, dataset_root, load_img=False):
+        super().__init__(name, dataset_root)
+        with open(os.path.join(dataset_root, name + ".json")) as f:
+            meta = json.load(f)
+        for video in meta.keys():
+            self.videos[video] = Video(
+                video, dataset_root,
+                meta[video]["video_dir"], meta[video]["init_rect"],
+                meta[video]["img_names"], meta[video]["gt_rect"],
+                None, load_img)
+        self.attr = {"ALL": list(self.videos.keys())}
+
+
+class TrackingNetDataset(GOT10kDataset):
+    """TrackingNet eval-side wrapper (ref: pysot/datasets/trackingnet.py:
+    51-75 — structurally identical to the GOT-10k one)."""
+
+
 class VOTDataset(BaseDataset):
     def __init__(self, name, dataset_root, load_img=False):
         super().__init__(name, dataset_root)
@@ -265,4 +288,8 @@ def create_dataset(name: str, dataset_root: str, load_img=False):
         return VOTLTDataset(name, dataset_root, load_img)
     if "VOT" in name:
         return VOTDataset(name, dataset_root, load_img)
+    if "GOT" in name.upper():
+        return GOT10kDataset(name, dataset_root, load_img)
+    if "TRACKINGNET" in name.upper():
+        return TrackingNetDataset(name, dataset_root, load_img)
     raise ValueError(f"unknown dataset {name}")
