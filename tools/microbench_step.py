@@ -150,8 +150,17 @@ def main():
     engine = BatchScanEngine(model, variables, p, 480, 640, batch=B,
                              max_frames=MAXF, chunk=8)
     sz_b = jnp.full((B, 2), 60.0, jnp.float32)
-    state = EngineState(pos=pos, sz=sz_b, zf=zf[:, None],
-                        init_feats=init_feats, mem_feat=mem_feat,
+    # carry holds ENCODED kernels (see EngineState): derive shapes from a
+    # real encode pass, fill the rings with random data
+    zf_enc = model.apply(variables, zf, method=USOTNet.encode_template)
+    fe = model.apply(variables, feat, method=USOTNet.encode_memory_kernels)
+    mem_enc = tuple(jnp.asarray(
+        rng.normal(size=(B, MAXF) + tuple(f.shape[1:])), dtype) for f in fe)
+    init_enc = tuple(jnp.asarray(
+        rng.normal(size=(B, 2) + tuple(f.shape[1:])), dtype) for f in fe)
+    state = EngineState(pos=pos, sz=sz_b,
+                        zf_enc=jax.tree.map(lambda t: t[:, None], zf_enc),
+                        init_enc=init_enc, mem_enc=mem_enc,
                         mem_conf=mem_conf, mem_idx=mem_idx, mem_len=mem_len)
 
     origin_b = jnp.zeros((B, 2), jnp.float32)

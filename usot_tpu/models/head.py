@@ -172,11 +172,26 @@ class BoxTowerReg(nn.Module):
         return (self.cls_encode_s(search, bn_train),
                 self.reg_encode_s(search, bn_train))
 
+    def encode_kernel(self, kernel, bn_train: bool = False):
+        """Kernel-side encodings of a pooled 7x7 feature: (cls_z, reg_z),
+        each a list of 3 multi-scale tensors. Pure functions of the
+        kernel — inference engines compute them ONCE per template /
+        memory frame and cache them (the reference re-encodes the whole
+        queue every frame; ref caching idea: lib/models/connect.py:243-255)."""
+        return (self.cls_encode_k(kernel, bn_train),
+                self.reg_encode_k(kernel, bn_train))
+
     def offline(self, search, kernel, bn_train: bool = False,
                 cls_x=None, reg_x=None):
         """Offline Siamese branch: bbox (B,Ho,Wo,4), cls (B,Ho,Wo,1)."""
         cls_z = self.cls_encode_k(kernel, bn_train)
         reg_z = self.reg_encode_k(kernel, bn_train)
+        return self.offline_preenc(search, cls_z, reg_z, bn_train,
+                                   cls_x=cls_x, reg_x=reg_x)
+
+    def offline_preenc(self, search, cls_z, reg_z, bn_train: bool = False,
+                       cls_x=None, reg_x=None):
+        """Offline branch with PRE-ENCODED kernel sides (see encode_kernel)."""
         if cls_x is None:
             cls_x = self.cls_encode_s(search, bn_train)
         if reg_x is None:
@@ -202,6 +217,13 @@ class BoxTowerReg(nn.Module):
         Returns cls_mem (B, Ho, Wo, 1).
         """
         cls_mem_zs = self.cls_encode_k(memory_kernel, bn_train)
+        return self.memory_cls_preenc(cls_x, cls_mem_zs, mem_size, bn_train)
+
+    def memory_cls_preenc(self, cls_x, cls_mem_zs, mem_size: int,
+                          bn_train: bool = False):
+        """Online memory branch with PRE-ENCODED queue kernels:
+        cls_mem_zs is a list of 3 (B*mem_size, h_i, w_i, C) tensors
+        (see encode_kernel — cached per memory frame by the engine)."""
         batch = cls_x[0].shape[0]
         if self.fused_xcorr:
             # fused multi-kernel path: never repeats cls_x to B*M lanes

@@ -103,6 +103,53 @@ class USOTNet(nn.Module):
         cls_mem = self.connect.memory_cls(cls_x, template_mem, mem_size=n_q)
         return cls, bbox, cls_mem
 
+    # -- pre-encoded-kernel variants (engine fast path) --
+    #
+    # The kernel-side multi-scale encodings (3 dilated convs) of the
+    # template and of every pooled memory frame are pure functions of
+    # those features. The scan engines compute them once (template at
+    # init; each memory frame when written to the ring) and carry the
+    # ENCODED tensors, removing the per-frame re-encode of the template
+    # + 7 queue kernels that the reference performs every frame
+    # (ref: lib/models/connect.py:229-255).
+
+    def encode_memory_kernels(self, feat):
+        """cls-side encodings of pooled memory features.
+        feat: (N, 7, 7, C) -> tuple of 3 tensors (N, h_i, w_i, C)."""
+        cls_z, _ = self.connect.encode_kernel(feat)
+        return tuple(cls_z)
+
+    def encode_template(self, zf):
+        """Both kernel-side encodings of the template feature.
+        zf: (B, 7, 7, C) -> (cls_z 3-tuple, reg_z 3-tuple)."""
+        cls_z, reg_z = self.connect.encode_kernel(zf)
+        return tuple(cls_z), tuple(reg_z)
+
+    def track_memory_encoded(self, xf, zf_enc, queue_enc):
+        """track_memory with cached kernel encodings (batch size 1).
+
+        zf_enc: (cls_z, reg_z) 3-tuples of (1, h, w, C);
+        queue_enc: 3-tuple of (N_q, h_i, w_i, C).
+        Returns (cls, bbox, cls_mem)."""
+        cls_z, reg_z = zf_enc
+        bbox, cls, cls_x, _ = self.connect.offline_preenc(
+            xf, list(cls_z), list(reg_z))
+        n_q = queue_enc[0].shape[0]
+        cls_mem = self.connect.memory_cls_preenc(
+            cls_x, list(queue_enc), mem_size=n_q)
+        return cls, bbox, cls_mem
+
+    def track_memory_encoded_batched(self, xf, zf_enc, queue_enc):
+        """Batched variant: xf (B, s, s, C); zf_enc tensors (B, h, w, C);
+        queue_enc 3-tuple of (B, N_q, h_i, w_i, C)."""
+        cls_z, reg_z = zf_enc
+        bbox, cls, cls_x, _ = self.connect.offline_preenc(
+            xf, list(cls_z), list(reg_z))
+        b, n_q = queue_enc[0].shape[0], queue_enc[0].shape[1]
+        flat = [q.reshape((b * n_q,) + q.shape[2:]) for q in queue_enc]
+        cls_mem = self.connect.memory_cls_preenc(cls_x, flat, mem_size=n_q)
+        return cls, bbox, cls_mem
+
     def track_memory_batched(self, xf, zf, template_mem):
         """Batched variant of track_memory: B videos at once.
 

@@ -31,50 +31,88 @@ from usot_tpu.tracker.tracker import _clip_number, _flip_lr
 
 
 class EngineState(NamedTuple):
+    """Functional tracking carry (batched engines add a leading B dim).
+
+    The template and memory features are carried ENCODED: the kernel-side
+    multi-scale encodings (3 dilated convs per branch) are pure functions
+    of the pooled 7x7 features, so the engine computes them once — the
+    template at init, each memory frame when written — instead of
+    re-encoding the template + the whole queue every frame as the
+    reference does (ref: lib/models/connect.py:229-255)."""
     pos: Any          # (2,) f32 image coords
     sz: Any           # (2,) f32
-    zf: Any           # (1, 7, 7, 256)
-    init_feats: Any   # (2, 7, 7, 256)
-    mem_feat: Any     # (MAX, 7, 7, 256)
+    zf_enc: Any       # (cls_z, reg_z): two 3-tuples of (1, h_i, w_i, C)
+    init_enc: Any     # 3-tuple of (2, h_i, w_i, C) encoded init anchors
+    mem_enc: Any      # 3-tuple of (MAX, h_i, w_i, C) encoded memory ring
     mem_conf: Any     # (MAX,)
     mem_idx: Any      # (MAX,) int32 logical frame index per slot (-1 empty)
     mem_len: Any      # () int32 LOGICAL history length (grows unbounded)
 
 
-def _memory_write(mem_feat, mem_conf, mem_idx, mem_len, feat, score):
-    """Append one frame's pooled feature to the capped memory ring.
+def _write_slot(mem_conf, mem_idx, mem_len, max_frames: int):
+    """Ring slot to write the newest frame into.
 
     The reference keeps unbounded per-frame history (ref:
     usot_tracker.py:263-265); a scan carry cannot. While the buffer has
     room, slot s holds logical frame s (exact parity). Once full, the
-    lowest-confidence slot is evicted (never the newest frame). Queue
-    sampling is argmax-confidence within logical segments, so evicting
-    the running minimum can never remove a frame the reference would
-    have picked — picks stay identical for arbitrarily long videos.
+    lowest-confidence slot is evicted (never the newest frame).
+
+    Why min-eviction is pick-exact for arbitrarily long videos: in the
+    reference sampler (usot_tracker.py:236-256, incl. its documented
+    index deviation) `start_index = min(int(int(i*gap)*L), L-1)` is a
+    multiple of L clamped to L-1, i.e. always 0 or L-1. So the only
+    frames the reference can ever pick are frame 0 (early, pre-eviction
+    regime), the running FIRST-index argmax of conf[0:L-1], and frame
+    L-1. The running first-max is never the strict ring minimum, and
+    under ties the eviction tie-break below (evict the LARGEST logical
+    index among tied minima) keeps the first-index maximum alive.
+    Proven against an unbounded-history simulator for 10k-frame traces
+    (tests/test_engine.py::TestMemoryRingLongVideo).
     """
-    max_frames = mem_feat.shape[0]
     full = mem_len >= max_frames
     last_slot = jnp.argmax(mem_idx).astype(jnp.int32)
     conf_evict = mem_conf.at[last_slot].set(jnp.inf)
-    evict = jnp.argmin(conf_evict).astype(jnp.int32)
-    write_idx = jnp.where(full, evict,
-                          jnp.minimum(mem_len, max_frames - 1))
-    mem_feat = jax.lax.dynamic_update_slice(
-        mem_feat, feat.astype(mem_feat.dtype), (write_idx, 0, 0, 0))
+    # Min-confidence slot; ties broken toward the LARGEST logical index
+    # (reference argmax-over-history resolves ties to the smallest
+    # index, so the smallest-index member of any tied group must be the
+    # survivor here).
+    min_conf = jnp.min(conf_evict)
+    tied = conf_evict == min_conf
+    evict = jnp.argmax(jnp.where(tied, mem_idx, -1)).astype(jnp.int32)
+    return jnp.where(full, evict, jnp.minimum(mem_len, max_frames - 1))
+
+
+def _memory_write(mem_feat, mem_conf, mem_idx, mem_len, feat, score):
+    """Single-ring append (see _write_slot). mem_feat: (MAX, ...);
+    feat: (1, ...)."""
+    rings, mem_conf, mem_idx, mem_len = _memory_write_multi(
+        (mem_feat,), mem_conf, mem_idx, mem_len, (feat,), score)
+    return rings[0], mem_conf, mem_idx, mem_len
+
+
+def _memory_write_multi(rings, mem_conf, mem_idx, mem_len, feats, score):
+    """Append one frame to N parallel rings (the engine keeps the 3
+    multi-scale ENCODINGS of each memory frame; all share one
+    confidence/index bookkeeping). rings[i]: (MAX, h_i, w_i, C);
+    feats[i]: (1, h_i, w_i, C)."""
+    write_idx = _write_slot(mem_conf, mem_idx, mem_len, rings[0].shape[0])
+    rings = tuple(
+        jax.lax.dynamic_update_slice(
+            r, f.astype(r.dtype), (write_idx,) + (0,) * (r.ndim - 1))
+        for r, f in zip(rings, feats))
     mem_conf = mem_conf.at[write_idx].set(score)
     mem_idx = mem_idx.at[write_idx].set(mem_len)
-    return mem_feat, mem_conf, mem_idx, mem_len + 1
+    return rings, mem_conf, mem_idx, mem_len + 1
 
 
-def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
-                           n_queue: int):
+def _queue_picks(mem_conf, mem_idx, mem_len, n_queue: int):
     """In-graph replica of the reference memory-queue sampling
     (ref: usot_tracker.py:222-256, incl. the documented index deviation).
 
     Segment bounds are computed in LOGICAL frame indices (mem_len counts
     every tracked frame, even past the buffer cap); slots are matched by
     their stored logical index, so eviction is transparent here.
-    Returns (n_queue, 7, 7, C)."""
+    Returns (n_queue - 2,) int32 ring slots."""
     n_update = n_queue - 3
     L = mem_len.astype(jnp.float32)
     last_slot = jnp.argmax(mem_idx).astype(jnp.int32)
@@ -93,7 +131,15 @@ def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
         end_i = end.astype(jnp.int32)
         in_seg = (mem_idx >= start_i) & (mem_idx < end_i)
         masked = jnp.where(in_seg, mem_conf, -jnp.inf)
-        seg_best = jnp.where(jnp.any(in_seg), jnp.argmax(masked),
+        # np.argmax over the logical list returns the FIRST maximal
+        # index (ref usot_tracker.py:250); slot order differs from
+        # logical order once eviction wraps, so break ties explicitly
+        # toward the smallest logical index.
+        seg_max = jnp.max(masked)
+        seg_tied = in_seg & (masked == seg_max)
+        big = jnp.iinfo(jnp.int32).max
+        first_max = jnp.argmin(jnp.where(seg_tied, mem_idx, big))
+        seg_best = jnp.where(jnp.any(in_seg), first_max,
                              last_slot).astype(jnp.int32)
         idx = jnp.where(start_i >= end_i, slot_of(start_i), seg_best)
         picks.append(idx)
@@ -101,8 +147,106 @@ def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
 
     # mem_len <= 1 fallback: every sampled slot reads frame 0
     picks = [jnp.where(mem_len <= 1, 0, p) for p in picks]
-    sampled = mem_feat[jnp.stack(picks)]          # (n_update+1, 7, 7, C)
+    return jnp.stack(picks)
+
+
+def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
+                           n_queue: int):
+    """Single-ring queue assembly: init anchors + sampled slots.
+    Returns (n_queue, 7, 7, C)."""
+    picks = _queue_picks(mem_conf, mem_idx, mem_len, n_queue)
+    sampled = mem_feat[picks]                     # (n_update+1, 7, 7, C)
     return jnp.concatenate([init_feats, sampled], axis=0)
+
+
+def make_consts(p) -> dict:
+    """Per-config postprocess constants: score grid, cosine window, and
+    the search-feature-axis scaling for the pool bbox."""
+    instance = p.instance_size
+    gx, gy = score_grid(p.score_size, p.total_stride, instance)
+    window = hanning_window(p.score_size)
+    sf_axis = feature_axis(p.sf_size, p.total_stride, instance)
+    return dict(
+        gx=jnp.asarray(gx), gy=jnp.asarray(gy),
+        window=jnp.asarray(window, jnp.float32),
+        sf_min=float(sf_axis[0]), sf_max=float(sf_axis[-1]),
+        sf_slope=(2 * (p.sf_size // 2)) / float(sf_axis[-1] - sf_axis[0]),
+    )
+
+
+def _postprocess_traced(p, c, pos, sz, scale_z, cls, bbox, cls_mem):
+    """In-graph single-video postprocess: penalties, cosine window,
+    argmax, EMA size update, pool bbox (the f32 scan counterpart of
+    tracker/postprocess.postprocess_response; deterministic-parity
+    tested in tests/test_engine.py::TestPostprocessParity).
+
+    cls/bbox/cls_mem: (1, S, S, {1,4,1}) raw head outputs;
+    c: engine consts dict (gx, gy, window, sf_min/max/slope).
+    Returns (new_pos (2,), new_sz (2,), best_score (), pool_bbox (4,))."""
+    # Postprocess in f32 regardless of the model compute dtype
+    cls = cls.astype(jnp.float32)
+    bbox = bbox.astype(jnp.float32)
+    cls_mem = cls_mem.astype(jnp.float32)
+    cls_score = jax.nn.sigmoid(cls[0, :, :, 0])
+    cls_memory = jax.nn.sigmoid(cls_mem[0, :, :, 0])
+    cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
+
+    bp = bbox[0]  # (S, S, 4)
+    pred_x1 = c["gx"] - bp[..., 0]
+    pred_y1 = c["gy"] - bp[..., 1]
+    pred_x2 = c["gx"] + bp[..., 2]
+    pred_y2 = c["gy"] + bp[..., 3]
+
+    target_sz_crop = sz * scale_z
+    w, h = target_sz_crop[0], target_sz_crop[1]
+
+    def _sz(a, b):
+        pad = (a + b) * 0.5
+        return jnp.sqrt((a + pad) * (b + pad))
+
+    def _change(r):
+        return jnp.maximum(r, 1.0 / r)
+
+    s_c = _change(_sz(pred_x2 - pred_x1, pred_y2 - pred_y1) / _sz(w, h))
+    r_c = _change((w / h) / ((pred_x2 - pred_x1) / (pred_y2 - pred_y1)))
+    penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
+    pscore = penalty * cls_score
+    pscore = pscore * (1 - p.window_influence) \
+        + c["window"] * p.window_influence
+    # Degenerate-prediction guard (see postprocess.py): NaN cells lose
+    pscore = jnp.where(jnp.isnan(pscore), -jnp.inf, pscore)
+
+    flat = jnp.argmax(pscore)
+    r_max = flat // pscore.shape[1]
+    c_max = flat % pscore.shape[1]
+
+    bx1 = pred_x1[r_max, c_max]
+    by1 = pred_y1[r_max, c_max]
+    bx2 = pred_x2[r_max, c_max]
+    by2 = pred_y2[r_max, c_max]
+
+    pred_xs = (bx1 + bx2) / 2
+    pred_ys = (by1 + by2) / 2
+    diff_xs = (pred_xs - p.instance_size // 2) / scale_z
+    diff_ys = (pred_ys - p.instance_size // 2) / scale_z
+    pred_w = (bx2 - bx1) / scale_z
+    pred_h = (by2 - by1) / scale_z
+
+    lr = penalty[r_max, c_max] * cls_score[r_max, c_max] * p.lr
+    res_w = pred_w * lr + (1 - lr) * sz[0]
+    res_h = pred_h * lr + (1 - lr) * sz[1]
+    new_pos = jnp.stack([pos[0] + diff_xs, pos[1] + diff_ys])
+    new_sz = jnp.stack([sz[0] * (1 - lr) + lr * res_w,
+                        sz[1] * (1 - lr) + lr * res_h])
+
+    best_score = cls_score[r_max, c_max]
+
+    # Pool this frame's feature by the predicted crop bbox
+    gap = 1.0 / c["sf_slope"]
+    crop_bbox = jnp.stack([bx1, by1, bx2, by2])
+    crop_bbox = jnp.clip(crop_bbox, c["sf_min"] - gap, c["sf_max"] + gap)
+    pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
+    return new_pos, new_sz, best_score, pool_bbox
 
 
 class ScanEngine:
@@ -140,17 +284,7 @@ class ScanEngine:
         self._crop = subwindow_matmul if crop_impl == "matmul" \
             else subwindow_jax
 
-        instance = p.instance_size
-        score = p.score_size
-        gx, gy = score_grid(score, p.total_stride, instance)
-        window = hanning_window(score)
-        sf_axis = feature_axis(p.sf_size, p.total_stride, instance)
-        self._consts = dict(
-            gx=jnp.asarray(gx), gy=jnp.asarray(gy),
-            window=jnp.asarray(window, jnp.float32),
-            sf_min=float(sf_axis[0]), sf_max=float(sf_axis[-1]),
-            sf_slope=(2 * (p.sf_size // 2)) / float(sf_axis[-1] - sf_axis[0]),
-        )
+        self._consts = make_consts(p)
 
         self._chunk_fn = jax.jit(self._make_chunk_fn(),
                                  donate_argnums=(1,))
@@ -194,81 +328,25 @@ class ScanEngine:
 
         xf = model.apply(variables, x_crop[None].astype(model.dtype),
                          method=USOTNet.search_features)
-        queue = _assemble_queue_traced(carry.init_feats, carry.mem_feat,
-                                       carry.mem_conf, carry.mem_idx,
-                                       carry.mem_len, p.mem_queue_size)
+        picks = _queue_picks(carry.mem_conf, carry.mem_idx,
+                             carry.mem_len, p.mem_queue_size)
+        queue_enc = tuple(
+            jnp.concatenate([init, ring[picks]], axis=0).astype(model.dtype)
+            for init, ring in zip(carry.init_enc, carry.mem_enc))
+        zf_enc = jax.tree.map(lambda t: t.astype(model.dtype), carry.zf_enc)
         cls, bbox, cls_mem = model.apply(
-            variables, xf, carry.zf.astype(model.dtype),
-            queue.astype(model.dtype), method=USOTNet.track_memory)
-        # Postprocess in f32 regardless of the model compute dtype
-        cls = cls.astype(jnp.float32)
-        bbox = bbox.astype(jnp.float32)
-        cls_mem = cls_mem.astype(jnp.float32)
-        cls_score = jax.nn.sigmoid(cls[0, :, :, 0])
-        cls_memory = jax.nn.sigmoid(cls_mem[0, :, :, 0])
-        cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
-
-        bp = bbox[0]  # (S, S, 4)
-        pred_x1 = c["gx"] - bp[..., 0]
-        pred_y1 = c["gy"] - bp[..., 1]
-        pred_x2 = c["gx"] + bp[..., 2]
-        pred_y2 = c["gy"] + bp[..., 3]
-
-        target_sz_crop = sz * scale_z
-        w, h = target_sz_crop[0], target_sz_crop[1]
-
-        def _sz(a, b):
-            pad = (a + b) * 0.5
-            return jnp.sqrt((a + pad) * (b + pad))
-
-        def _change(r):
-            return jnp.maximum(r, 1.0 / r)
-
-        s_c = _change(_sz(pred_x2 - pred_x1, pred_y2 - pred_y1) / _sz(w, h))
-        r_c = _change((w / h) / ((pred_x2 - pred_x1) / (pred_y2 - pred_y1)))
-        penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
-        pscore = penalty * cls_score
-        pscore = pscore * (1 - p.window_influence) \
-            + c["window"] * p.window_influence
-        # Degenerate-prediction guard (see postprocess.py): NaN cells lose
-        pscore = jnp.where(jnp.isnan(pscore), -jnp.inf, pscore)
-
-        flat = jnp.argmax(pscore)
-        r_max = flat // pscore.shape[1]
-        c_max = flat % pscore.shape[1]
-
-        bx1 = pred_x1[r_max, c_max]
-        by1 = pred_y1[r_max, c_max]
-        bx2 = pred_x2[r_max, c_max]
-        by2 = pred_y2[r_max, c_max]
-
-        pred_xs = (bx1 + bx2) / 2
-        pred_ys = (by1 + by2) / 2
-        diff_xs = (pred_xs - p.instance_size // 2) / scale_z
-        diff_ys = (pred_ys - p.instance_size // 2) / scale_z
-        pred_w = (bx2 - bx1) / scale_z
-        pred_h = (by2 - by1) / scale_z
-
-        lr = penalty[r_max, c_max] * cls_score[r_max, c_max] * p.lr
-        res_w = pred_w * lr + (1 - lr) * sz[0]
-        res_h = pred_h * lr + (1 - lr) * sz[1]
-        new_pos = jnp.stack([pos[0] + diff_xs, pos[1] + diff_ys])
-        new_sz = jnp.stack([sz[0] * (1 - lr) + lr * res_w,
-                            sz[1] * (1 - lr) + lr * res_h])
-
-        best_score = cls_score[r_max, c_max]
-
-        # Pool this frame's feature by the predicted crop bbox
-        gap = 1.0 / c["sf_slope"]
-        crop_bbox = jnp.stack([bx1, by1, bx2, by2])
-        crop_bbox = jnp.clip(crop_bbox, c["sf_min"] - gap, c["sf_max"] + gap)
-        pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
+            variables, xf, zf_enc, queue_enc,
+            method=USOTNet.track_memory_encoded)
+        new_pos, new_sz, best_score, pool_bbox = _postprocess_traced(
+            p, c, pos, sz, scale_z, cls, bbox, cls_mem)
         feat = model.apply(variables, xf, pool_bbox[None],
                            method=USOTNet.pool_memory_feature)  # (1,7,7,C)
+        feat_enc = model.apply(variables, feat,
+                               method=USOTNet.encode_memory_kernels)
 
-        mem_feat, mem_conf, mem_idx, mem_len = _memory_write(
-            carry.mem_feat, carry.mem_conf, carry.mem_idx, carry.mem_len,
-            feat, best_score)
+        mem_enc, mem_conf, mem_idx, mem_len = _memory_write_multi(
+            carry.mem_enc, carry.mem_conf, carry.mem_idx, carry.mem_len,
+            feat_enc, best_score)
 
         im_h = im_hw[0].astype(jnp.float32)
         im_w = im_hw[1].astype(jnp.float32)
@@ -277,8 +355,9 @@ class ScanEngine:
         new_sz = jnp.stack([jnp.clip(new_sz[0], 10.0, im_w),
                             jnp.clip(new_sz[1], 10.0, im_h)])
 
-        new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
-                                mem_feat, mem_conf, mem_idx, mem_len)
+        new_carry = EngineState(new_pos, new_sz, carry.zf_enc,
+                                carry.init_enc, mem_enc, mem_conf, mem_idx,
+                                mem_len)
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
@@ -336,10 +415,10 @@ class ScanEngine:
             return (b - sf_axis[0]) / gap
 
         x_aug, bbox_aug = _flip_lr(np.asarray(x_crop), info["template_bbox"])
-        bbox_aug = [_clip_number(bbox_aug[0], _max=x_aug.shape[0]),
-                    _clip_number(bbox_aug[1], _max=x_aug.shape[1]),
-                    _clip_number(bbox_aug[2], _max=x_aug.shape[0]),
-                    _clip_number(bbox_aug[3], _max=x_aug.shape[1])]
+        bbox_aug = [_clip_number(bbox_aug[0], _max=x_aug.shape[1]),  # x vs W
+                    _clip_number(bbox_aug[1], _max=x_aug.shape[0]),  # y vs H
+                    _clip_number(bbox_aug[2], _max=x_aug.shape[1]),
+                    _clip_number(bbox_aug[3], _max=x_aug.shape[0])]
         return dict(
             pos=target_pos, sz=target_sz, avg=avg_chans,
             z_crop=np.asarray(z_crop, np.float32), tb=tb,
@@ -347,19 +426,27 @@ class ScanEngine:
             sb0=pool_label(info["template_bbox"]),
             x_aug=x_aug.astype(np.float32), sb1=pool_label(bbox_aug))
 
-    def _assemble_state(self, h, zf, feat0, feat1) -> EngineState:
+    def _assemble_state(self, h, zf_enc, feat_enc) -> EngineState:
+        """feat_enc: 3-tuple of (2, h_i, w_i, C) — encoded [bootstrap,
+        flipped-bootstrap] anchors; slot 0 of each ring starts with the
+        unflipped bootstrap (ref: usot_tracker.py:141-142). The rings are
+        allocated on DEVICE (jnp.zeros) — uploading a zeroed
+        (MAX, ...) buffer through a slow host link costs seconds."""
         cd = self.carry_dtype
-        mem_feat = jnp.zeros((self.max_frames, 7, 7, 256), cd)
-        mem_feat = mem_feat.at[0].set(feat0[0].astype(cd))
+        mem_enc = tuple(
+            jnp.zeros((self.max_frames,) + tuple(f.shape[1:]), cd)
+            .at[0].set(f[0].astype(cd))
+            for f in feat_enc)
         mem_conf = jnp.zeros((self.max_frames,), jnp.float32)
         mem_conf = mem_conf.at[0].set(0.9)
         mem_idx = jnp.full((self.max_frames,), -1, jnp.int32)
         mem_idx = mem_idx.at[0].set(0)
-        init_feats = jnp.concatenate([feat0, feat1], axis=0).astype(cd)
+        init_enc = tuple(f.astype(cd) for f in feat_enc)
         return EngineState(
             pos=jnp.asarray(h["pos"], jnp.float32),
             sz=jnp.asarray(h["sz"], jnp.float32),
-            zf=zf.astype(cd), init_feats=init_feats, mem_feat=mem_feat,
+            zf_enc=jax.tree.map(lambda t: t.astype(cd), zf_enc),
+            init_enc=init_enc, mem_enc=mem_enc,
             mem_conf=mem_conf, mem_idx=mem_idx,
             mem_len=jnp.asarray(1, jnp.int32))
 
@@ -369,11 +456,14 @@ class ScanEngine:
         h = self._init_host(im, target_pos, target_sz)
         self.avg_chans = h["avg"]
         zf = runner.template(h["z_crop"], h["tb"])
+        zf_enc = runner.encode_template(zf)
         feat0 = runner.extract_memory_feature(x_hwc=h["x_crop"],
                                               search_bbox=h["sb0"])
         feat1 = runner.extract_memory_feature(x_hwc=h["x_aug"],
                                               search_bbox=h["sb1"])
-        return self._assemble_state(h, zf, feat0, feat1)
+        feat_enc = runner.encode_memory_kernels(
+            jnp.concatenate([feat0, feat1], axis=0))
+        return self._assemble_state(h, zf_enc, feat_enc)
 
     def iter_chunks(self, state: EngineState, frames_u8: np.ndarray,
                     im_hw=None):
@@ -461,10 +551,25 @@ class BatchScanEngine(ScanEngine):
             self._shard_b1 = b1
             self.variables = jax.device_put(variables, rep)
             carry_sh = EngineState(*([b0] * len(EngineState._fields)))
-            self._chunk_fn = jax.jit(
-                self._make_chunk_fn(), donate_argnums=(1,),
+            self._jit_shardings = dict(
                 in_shardings=(rep, carry_sh, b1, b1, b0, b0, b0),
                 out_shardings=(carry_sh, (b1, b1, b1)))
+            self._chunk_fn = jax.jit(
+                self._make_chunk_fn(), donate_argnums=(1,),
+                **self._jit_shardings)
+
+    @property
+    def _chunk_fn_nodonate(self):
+        """The same chunk program compiled WITHOUT carry donation, for
+        the ROI first attempt (the input carry must survive for a
+        possible exactness replay). Built lazily: only ROI callers pay
+        the extra compile."""
+        fn = getattr(self, "_chunk_fn_nd", None)
+        if fn is None:
+            kw = getattr(self, "_jit_shardings", {})
+            fn = jax.jit(self._make_chunk_fn(), **kw)
+            self._chunk_fn_nd = fn
+        return fn
 
     def _frame_step_batched(self, variables, avg_b, im_hw_b, origin_b,
                             carry, frames):
@@ -499,13 +604,23 @@ class BatchScanEngine(ScanEngine):
 
         xf = model.apply(variables, x_crop.astype(model.dtype),
                          method=USOTNet.search_features)
-        queue = jax.vmap(_assemble_queue_traced,
-                         in_axes=(0, 0, 0, 0, 0, None))(
-            carry.init_feats, carry.mem_feat, carry.mem_conf,
-            carry.mem_idx, carry.mem_len, p.mem_queue_size)  # (B,Nq,7,7,C)
+        picks = jax.vmap(_queue_picks, in_axes=(0, 0, 0, None))(
+            carry.mem_conf, carry.mem_idx, carry.mem_len,
+            p.mem_queue_size)                                # (B, Nq-2)
+        queue_enc = []
+        for init, ring in zip(carry.init_enc, carry.mem_enc):
+            k = picks.shape[1]
+            idx = picks.reshape(picks.shape + (1, 1, 1))
+            sampled = jnp.take_along_axis(
+                ring, jnp.broadcast_to(
+                    idx, (B, k) + tuple(ring.shape[2:])), axis=1)
+            queue_enc.append(jnp.concatenate([init, sampled], axis=1)
+                             .astype(model.dtype))           # (B,Nq,h,w,C)
+        zf_enc = jax.tree.map(lambda t: t[:, 0].astype(model.dtype),
+                              carry.zf_enc)
         cls, bbox, cls_mem = model.apply(
-            variables, xf, carry.zf[:, 0].astype(model.dtype),
-            queue.astype(model.dtype), method=USOTNet.track_memory_batched)
+            variables, xf, zf_enc, tuple(queue_enc),
+            method=USOTNet.track_memory_encoded_batched)
         cls = cls.astype(jnp.float32)
         bbox = bbox.astype(jnp.float32)
         cls_mem = cls_mem.astype(jnp.float32)
@@ -572,10 +687,13 @@ class BatchScanEngine(ScanEngine):
         pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
         feat = model.apply(variables, xf, pool_bbox,
                            method=USOTNet.pool_memory_feature)  # (B,7,7,C)
+        feat_enc = model.apply(variables, feat,
+                               method=USOTNet.encode_memory_kernels)
+        feat_enc = tuple(f[:, None] for f in feat_enc)  # (B,1,h,w,C)
 
-        mem_feat, mem_conf, mem_idx, mem_len = jax.vmap(_memory_write)(
-            carry.mem_feat, carry.mem_conf, carry.mem_idx, carry.mem_len,
-            feat[:, None], best_score)
+        mem_enc, mem_conf, mem_idx, mem_len = jax.vmap(_memory_write_multi)(
+            carry.mem_enc, carry.mem_conf, carry.mem_idx, carry.mem_len,
+            feat_enc, best_score)
 
         im_h = im_hw_b[:, 0]
         im_w = im_hw_b[:, 1]
@@ -584,8 +702,9 @@ class BatchScanEngine(ScanEngine):
         new_sz = jnp.stack([jnp.clip(new_sz[:, 0], 10.0, im_w),
                             jnp.clip(new_sz[:, 1], 10.0, im_h)], -1)
 
-        new_carry = EngineState(new_pos, new_sz, carry.zf, carry.init_feats,
-                                mem_feat, mem_conf, mem_idx, mem_len)
+        new_carry = EngineState(new_pos, new_sz, carry.zf_enc,
+                                carry.init_enc, mem_enc, mem_conf, mem_idx,
+                                mem_len)
         return new_carry, (new_pos, new_sz, best_score)
 
     def _make_chunk_fn(self):
@@ -627,24 +746,29 @@ class BatchScanEngine(ScanEngine):
         z = np.stack([h["z_crop"] for h in hosts])            # (B, T, T, 3)
         tb = np.stack([h["tb"] for h in hosts])               # (B, 4)
         zf_b = runner.template_batch(z, tb)                   # (B, 7, 7, C)
+        zf_enc = runner.encode_template(zf_b)
 
         xs = np.stack([h[k] for h in hosts for k in ("x_crop", "x_aug")])
         sbs = np.stack([h[k] for h in hosts for k in ("sb0", "sb1")])
         feats = runner.extract_memory_feature_batch(xs, sbs)  # (2B, 7,7,C)
+        feat_enc = runner.encode_memory_kernels(feats)        # 3x(2B,h,w,C)
 
-        # Assemble the batched carry host-side (one upload, not B stacks
-        # of max_frames-sized device rings)
+        # The (B, MAX, ...) rings are allocated ON DEVICE and slot 0 is
+        # written there — materializing them host-side would push
+        # gigabyte-scale zero buffers through the host link at init.
         B = len(hosts)
         cd = self.carry_dtype
-        feats_np = np.asarray(feats, np.float32)
-        C = feats_np.shape[-1]
-        mem_feat = np.zeros((B, self.max_frames, 7, 7, C), np.float32)
-        mem_feat[:, 0] = feats_np[0::2]
-        mem_conf = np.zeros((B, self.max_frames), np.float32)
-        mem_conf[:, 0] = 0.9
-        mem_idx = np.full((B, self.max_frames), -1, np.int32)
-        mem_idx[:, 0] = 0
-        init_feats = np.stack([feats_np[0::2], feats_np[1::2]], axis=1)
+        mem_enc = tuple(
+            jnp.zeros((B, self.max_frames) + tuple(f.shape[1:]), cd)
+            .at[:, 0].set(f[0::2].astype(cd))
+            for f in feat_enc)
+        init_enc = tuple(
+            jnp.stack([f[0::2], f[1::2]], axis=1).astype(cd)  # (B,2,h,w,C)
+            for f in feat_enc)
+        mem_conf = jnp.zeros((B, self.max_frames), jnp.float32) \
+            .at[:, 0].set(0.9)
+        mem_idx = jnp.full((B, self.max_frames), -1, jnp.int32) \
+            .at[:, 0].set(0)
 
         self._avg_b = jnp.asarray(np.stack([h["avg"] for h in hosts]),
                                   jnp.float32)
@@ -653,11 +777,11 @@ class BatchScanEngine(ScanEngine):
             pos=jnp.asarray(np.stack([h["pos"] for h in hosts]),
                             jnp.float32),
             sz=jnp.asarray(np.stack([h["sz"] for h in hosts]), jnp.float32),
-            zf=jnp.asarray(zf_b, cd)[:, None],  # (B, 1, 7, 7, C)
-            init_feats=jnp.asarray(init_feats, cd),
-            mem_feat=jnp.asarray(mem_feat, cd),
-            mem_conf=jnp.asarray(mem_conf),
-            mem_idx=jnp.asarray(mem_idx),
+            # (B, 1, h, w, C): the singleton keeps the per-video model
+            # batch dim so the vmapped single-video step sees (1, h, w, C)
+            zf_enc=jax.tree.map(lambda t: t[:, None].astype(cd), zf_enc),
+            init_enc=init_enc, mem_enc=mem_enc,
+            mem_conf=mem_conf, mem_idx=mem_idx,
             mem_len=jnp.full((B,), 1, jnp.int32))
 
     def _prep_chunks(self, frames_u8: np.ndarray, n_valid: np.ndarray):
@@ -773,9 +897,14 @@ class BatchScanEngine(ScanEngine):
                     self.chunk, roi, roi * 3)
             origin = jnp.asarray(np.stack([ox, oy], -1), jnp.float32)
 
-            # keep a pre-chunk carry for replay (chunk_fn donates input)
-            backup = jax.tree.map(lambda x: x + 0, state)
-            state2, outs = self._chunk_fn(
+            # The ROI attempt must keep `state` alive for a possible
+            # replay. Rather than deep-copying the carry every chunk
+            # (the memory ring alone is ~GB-scale at B=32), use a
+            # non-donating compilation of the same chunk fn: identical
+            # peak memory (input + output carry coexist either way),
+            # zero copy traffic. The replay below then consumes `state`
+            # through the donating fn.
+            state2, outs = self._chunk_fn_nodonate(
                 self.variables, state, jnp.asarray(roi_block), valid,
                 self._avg_b, self._im_hw_b, origin)
             pos_np = np.asarray(outs[0], np.float64)      # (T, B, 2)
@@ -808,7 +937,7 @@ class BatchScanEngine(ScanEngine):
                 block_tb = np.reshape(np.ascontiguousarray(block_tb),
                                       block_tb.shape[:3] + (-1,))
                 state2, outs = self._chunk_fn(
-                    self.variables, backup, jnp.asarray(block_tb), valid,
+                    self.variables, state, jnp.asarray(block_tb), valid,
                     self._avg_b, self._im_hw_b, zero_origin)
                 pos_np = np.asarray(outs[0], np.float64)
                 sz_np = np.asarray(outs[1], np.float64)
@@ -828,9 +957,12 @@ class BatchScanEngine(ScanEngine):
         staged = [(nb, jax.device_put(block), valid)
                   for nb, block, valid in self._prep_chunks(frames_u8,
                                                             n_valid)]
-        if staged:  # force uploads to complete (block_until_ready is
-            # a no-op through the tunnel runtime; a tiny D2H is a true sync)
-            np.asarray(staged[-1][1][0, 0, 0, :1])
+        # Force EVERY upload to complete (block_until_ready is a no-op
+        # through the tunnel runtime; a tiny dependent D2H per block is
+        # the only true fence — uploads are independent transfers, so
+        # syncing just the last block leaves earlier ones in flight).
+        for _, block, _ in staged:
+            np.asarray(block[0, 0, 0, :1])
         return staged
 
     def track_staged(self, state, staged):

@@ -59,6 +59,18 @@ class ModelRunner:
             return model.apply(variables, xf, sb,
                                method=USOTNet.pool_memory_feature)
 
+        @jax.jit
+        def _encode_template(variables, zf):
+            return model.apply(variables, zf,
+                               method=USOTNet.encode_template)
+
+        @jax.jit
+        def _encode_memory_kernels(variables, feat):
+            return model.apply(variables, feat,
+                               method=USOTNet.encode_memory_kernels)
+
+        self._encode_template_fn = _encode_template
+        self._encode_memory_kernels_fn = _encode_memory_kernels
         self._template = _template
         self._search_features = _search_features
         self._track_offline = _track_offline
@@ -89,6 +101,16 @@ class ModelRunner:
         cls, bbox, cls_mem = self._track_memory(self.variables, xf, zf, mem)
         return (np.asarray(cls, np.float64), np.asarray(bbox, np.float64),
                 np.asarray(cls_mem, np.float64))
+
+    def encode_template(self, zf):
+        """Kernel-side encodings of zf: (cls_z 3-tuple, reg_z 3-tuple).
+        Scan engines cache these in the carry (see EngineState)."""
+        return self._encode_template_fn(self.variables, zf)
+
+    def encode_memory_kernels(self, feat):
+        """cls-side encodings of pooled memory features (N, 7, 7, C) ->
+        3-tuple of (N, h_i, w_i, C)."""
+        return self._encode_memory_kernels_fn(self.variables, feat)
 
     def extract_memory_feature(self, x_hwc=None, xf=None, search_bbox=None):
         if xf is None:

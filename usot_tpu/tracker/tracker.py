@@ -129,10 +129,10 @@ class USOTTracker:
         # Left-right flipped init patch as the second anchor feature
         x_aug, bbox_aug = _flip_lr(np.asarray(x_crop), search_bbox)
         bbox_aug = [
-            _clip_number(bbox_aug[0], _max=x_aug.shape[0]),
-            _clip_number(bbox_aug[1], _max=x_aug.shape[1]),
-            _clip_number(bbox_aug[2], _max=x_aug.shape[0]),
-            _clip_number(bbox_aug[3], _max=x_aug.shape[1]),
+            _clip_number(bbox_aug[0], _max=x_aug.shape[1]),   # x vs width
+            _clip_number(bbox_aug[1], _max=x_aug.shape[0]),   # y vs height
+            _clip_number(bbox_aug[2], _max=x_aug.shape[1]),
+            _clip_number(bbox_aug[3], _max=x_aug.shape[0]),
         ]
         mem_feat_aug = runner.extract_memory_feature(
             x_hwc=x_aug.astype(np.float32),
