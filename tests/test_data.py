@@ -146,6 +146,67 @@ class TestUSOTDataset:
         assert os.path.basename(out[0]).endswith(".00.x.jpg")
 
 
+class TestShards:
+    """Offline pre-augmented shard cache (data/shards.py): the stream
+    must reproduce the live loader's samples exactly (uint8 sources) and
+    batch correctly across shard boundaries."""
+
+    def test_roundtrip_matches_live_dataset(self, synth_dataset, tmp_path):
+        from usot_tpu.data.shards import (ShardLoader, unpack_images,
+                                          write_shards)
+
+        ds = USOTDataset(synth_dataset, seed=3)
+        ds.cycle_memory = True
+        meta = write_shards(ds, str(tmp_path), n_samples=6, shard_size=4,
+                            workers=2)
+        assert meta["n_shards"] == 2 and meta["cycle_memory"] is True
+
+        loader = ShardLoader(str(tmp_path), batch_size=2)
+        assert len(loader) == 3
+        batches = list(loader)
+        assert len(batches) == 3
+        # transport layout: channel-flat uint8 images
+        assert batches[0]["search"].dtype == np.uint8
+        assert batches[0]["search"].shape == (2, 255, 255 * 3)
+        assert batches[0]["search_memory"].shape[-1] == 255 * 3
+
+        # sample 5 lives in batch 2 slot 1 (order is preserved)
+        live = ds[5]
+        got = unpack_images(batches[2])
+        np.testing.assert_array_equal(got["search"][1], live["search"])
+        np.testing.assert_array_equal(got["template"][1], live["template"])
+        np.testing.assert_array_equal(got["search_memory"][1],
+                                      live["search_memory"])
+        np.testing.assert_allclose(batches[2]["label"][1], live["label"])
+        np.testing.assert_allclose(batches[2]["reg_target"][1],
+                                   live["reg_target"])
+
+    def test_batches_cross_shard_boundaries(self, synth_dataset, tmp_path):
+        from usot_tpu.data.shards import ShardLoader, write_shards
+
+        ds = USOTDataset(synth_dataset, seed=4)
+        ds.cycle_memory = False
+        write_shards(ds, str(tmp_path), n_samples=7, shard_size=3)
+        loader = ShardLoader(str(tmp_path), batch_size=2)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 3  # 7 // 2, drop_last
+        for b in batches:
+            assert b["search"].shape[0] == 2
+
+    def test_step_images_f32_layouts_agree(self):
+        import jax.numpy as jnp
+
+        from usot_tpu.train.step import _images_f32
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (2, 5, 4, 3)).astype(np.float32)
+        flat = img.reshape(2, 5, -1).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(_images_f32(jnp.asarray(flat))), img)
+        np.testing.assert_array_equal(
+            np.asarray(_images_f32(jnp.asarray(img))), img)
+
+
 class TestResultFormats:
     def test_otb_and_vot_result_files(self, tmp_path):
         """Raw result writer formats match the reference byte layout."""

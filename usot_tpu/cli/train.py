@@ -34,10 +34,16 @@ def parse_args(argv=None):
     parser.add_argument("--workers", type=int, default=None)
     parser.add_argument("--devices", type=int, default=None,
                         help="number of TPU devices for DP")
+    parser.add_argument("--shards", default=None,
+                        help="shard-cache root (see cli.make_shards); "
+                        "epochs with a prebuilt epoch_XXX dir stream "
+                        "from disk, others fall back to the live loader")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
+    from usot_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     args = parse_args(argv)
     cfg = load_config(args.cfg if os.path.exists(args.cfg) else None)
     if args.workers:
@@ -104,10 +110,25 @@ def main(argv=None):
             stage_bn_train=epoch >= tc.UNFIX_EPOCH, lambda_1=lambda_1,
             lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE)
 
-        dataset = USOTDataset(cfg, seed=epoch)
-        dataset.cycle_memory = cycle_memory
         batch_size = (tc.BATCH_STAGE_2 if cycle_memory else tc.BATCH) * n_dev
-        loader = DataLoader(dataset, batch_size, num_workers=cfg.WORKERS)
+        loader = None
+        if args.shards:
+            from usot_tpu.cli.make_shards import epoch_dir
+            from usot_tpu.data.shards import ShardLoader, read_meta
+            sdir = epoch_dir(args.shards, epoch)
+            smeta = read_meta(sdir)
+            if smeta is not None:
+                assert smeta["cycle_memory"] == cycle_memory, (
+                    f"shard set {sdir} was built for "
+                    f"cycle_memory={smeta['cycle_memory']}")
+                loader = ShardLoader(sdir, batch_size)
+                logger.info("epoch %d streams %d prebuilt samples from %s",
+                            epoch, smeta["n_samples"], sdir)
+        if loader is None:
+            dataset = USOTDataset(cfg, seed=epoch)
+            dataset.cycle_memory = cycle_memory
+            loader = DataLoader(dataset, batch_size,
+                                num_workers=cfg.WORKERS)
 
         lr = float(lr_spaces[epoch - 1])
         logger.info("epoch %d lr %.6f cycle_memory=%s batch=%d",

@@ -46,6 +46,15 @@ def epoch_weights(cfg_train, epoch: int):
     return lambda1, cfg_train.LAMBDA_TOTAL, cls_ratio
 
 
+def _images_f32(x):
+    """Accept (.., H, W, 3) float images OR the shard-cache transport
+    layout — channel-flat (.., H, W*3) uint8 (4x smaller uploads, exact
+    TPU tiling; see data/shards.py) — and return (.., H, W, 3) f32."""
+    if x.dtype == jnp.uint8:
+        x = x.reshape(x.shape[:-1] + (x.shape[-1] // 3, 3))
+    return x.astype(jnp.float32)
+
+
 def make_train_step(model: USOTNet, tx, cycle_memory: bool,
                     stage_bn_train: bool, lambda_1: float,
                     lambda_total: float = 0.9,
@@ -61,9 +70,11 @@ def make_train_step(model: USOTNet, tx, cycle_memory: bool,
         variables = {"params": params, "batch_stats": batch_stats}
         if cycle_memory:
             (l_ori, l_mem, l_reg), mutated = model.apply(
-                variables, batch["template"], batch["search"], batch["label"],
+                variables, _images_f32(batch["template"]),
+                _images_f32(batch["search"]), batch["label"],
                 batch["reg_target"], batch["reg_weight"],
-                batch["template_bbox"], search_memory=batch["search_memory"],
+                batch["template_bbox"],
+                search_memory=_images_f32(batch["search_memory"]),
                 search_bbox=batch["search_bbox"], cls_ratio=cls_ratio,
                 stage_bn_train=stage_bn_train,
                 method=USOTNet.forward_train, mutable=["batch_stats"])
@@ -73,7 +84,8 @@ def make_train_step(model: USOTNet, tx, cycle_memory: bool,
                        "reg_loss": l_reg, "loss": loss}
         else:
             (l_ori, _, l_reg), mutated = model.apply(
-                variables, batch["template"], batch["search"], batch["label"],
+                variables, _images_f32(batch["template"]),
+                _images_f32(batch["search"]), batch["label"],
                 batch["reg_target"], batch["reg_weight"],
                 batch["template_bbox"], stage_bn_train=stage_bn_train,
                 method=USOTNet.forward_train, mutable=["batch_stats"])
