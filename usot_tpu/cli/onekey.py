@@ -1,5 +1,20 @@
-"""One-key pipeline: train -> epoch-sweep test -> eval
-(ref: scripts/onekey_usot.py)."""
+"""One-key pipeline: preprocess -> train -> epoch-sweep test -> eval
+(ref: scripts/onekey_usot.py:29-66; preprocessing chain: scripts/
+preprocessing/parse_<dataset>.py -> par_crop -> gen_json).
+
+Each stage is a subprocess of the corresponding CLI, driven by one YAML
+config, so the whole L1->L7 chain (raw videos -> flow pseudo-boxes ->
+crop511/train.json -> training -> benchmark runs -> AUC) is a single
+command. Stages toggle via ISTRUE flags like the reference.
+
+Config keys used (all under USOT:):
+  PREPROCESS: ISTRUE, DATA_DIR, OUTPUT_DIR, DATASET [, MAX_FRAMES, LIMIT,
+              INSTANCE_SIZE]
+  TRAIN:      ISTRUE (plus the normal training keys; point
+              DATASET.<X>.PATH/ANNOTATION at PREPROCESS.OUTPUT_DIR)
+  TEST:       ISTRUE, DATA, START_EPOCH, END_EPOCH [, DATASET_ROOT,
+              RESULT_DIR, ENGINE, MEM_SIZE, PROCESSES]
+"""
 from __future__ import annotations
 
 import argparse
@@ -11,10 +26,17 @@ import yaml
 
 
 def parse_args(argv=None):
-    p = argparse.ArgumentParser(description="train+test+eval pipeline")
+    p = argparse.ArgumentParser(description="preprocess+train+test+eval")
     p.add_argument("--cfg", default="experiments/train/USOT.yaml")
-    p.add_argument("--dataset_dir", default="datasets_test")
+    p.add_argument("--dataset_dir", default="datasets_test",
+                   help="benchmark root for evaluation (overridden by "
+                   "TEST.DATASET_ROOT)")
     return p.parse_args(argv)
+
+
+def _run(cmd):
+    print("==>", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
 
 
 def main(argv=None):
@@ -25,32 +47,53 @@ def main(argv=None):
     log_dir = cfg.get("OUTPUT_DIR", "var/log")
     os.makedirs(log_dir, exist_ok=True)
 
+    pre = cfg.get("PREPROCESS", {})
+    if pre.get("ISTRUE", False):
+        cmd = [sys.executable, "-m", "usot_tpu.cli.parse_flow",
+               "--data_dir", pre["DATA_DIR"],
+               "--output_dir", pre["OUTPUT_DIR"],
+               "--dataset", pre.get("DATASET", "got10k")]
+        for key, flag in (("MAX_FRAMES", "--max_frames"),
+                          ("LIMIT", "--limit"),
+                          ("INSTANCE_SIZE", "--instance_size")):
+            if key in pre:
+                cmd += [flag, str(pre[key])]
+        if pre.get("KEEP_ALL", False):
+            cmd.append("--keep_all")
+        _run(cmd)
+
     if cfg["TRAIN"].get("ISTRUE", True):
-        print("==> train")
-        subprocess.run([sys.executable, "-m", "usot_tpu.cli.train",
-                        "--cfg", args.cfg], check=True)
+        _run([sys.executable, "-m", "usot_tpu.cli.train",
+              "--cfg", args.cfg])
 
-    if cfg["TEST"].get("ISTRUE", True):
-        data = cfg["TEST"].get("DATA", "VOT2018")
-        print("==> epoch sweep test on", data)
-        subprocess.run([
-            sys.executable, "-m", "usot_tpu.cli.test_epochs",
-            "--start_epoch", str(cfg["TEST"].get("START_EPOCH", 10)),
-            "--end_epoch", str(cfg["TEST"].get("END_EPOCH", 30)),
-            "--dataset", data,
-        ], check=True)
+    test = cfg.get("TEST", {})
+    if test.get("ISTRUE", True):
+        data = test.get("DATA", "VOT2018")
+        result_dir = test.get("RESULT_DIR", "var/result")
+        cmd = [sys.executable, "-m", "usot_tpu.cli.test_epochs",
+               "--start_epoch", str(test.get("START_EPOCH", 10)),
+               "--end_epoch", str(test.get("END_EPOCH", 30)),
+               "--dataset", data,
+               "--snapshot_dir", cfg.get("CHECKPOINT_DIR", "var/snapshot"),
+               "--result_dir", result_dir,
+               "--processes", str(test.get("PROCESSES", 1))]
+        for key, flag in (("DATASET_ROOT", "--dataset_root"),
+                          ("ENGINE", "--engine"),
+                          ("MEM_SIZE", "--mem_size")):
+            if key in test:
+                cmd += [flag, str(test[key])]
+        _run(cmd)
 
-        print("==> eval")
-        result_root = os.path.join("var/result", data)
+        result_root = os.path.join(result_dir, data)
         trackers = sorted(os.listdir(result_root)) if \
             os.path.isdir(result_root) else []
         if trackers:
-            subprocess.run([
-                sys.executable, "-m", "usot_tpu.cli.evaluate",
-                "--dataset_dir", args.dataset_dir, "--dataset", data,
-                "--tracker_result_dir", result_root,
-                "--trackers", *trackers,
-            ], check=False)
+            _run([sys.executable, "-m", "usot_tpu.cli.evaluate",
+                  "--dataset_dir", test.get("DATASET_ROOT",
+                                            args.dataset_dir),
+                  "--dataset", data,
+                  "--tracker_result_dir", result_root,
+                  "--trackers", *trackers])
 
 
 if __name__ == "__main__":

@@ -29,6 +29,9 @@ def parse_args(argv=None):
     p.add_argument("--max_frames", type=int, default=2000)
     p.add_argument("--instance_size", type=int, default=511)
     p.add_argument("--limit", type=int, default=0, help="max videos (debug)")
+    p.add_argument("--keep_all", action="store_true",
+                   help="bypass pseudo-box quality gates (smoke-test "
+                   "pipelines with an untrained flow net)")
     p.add_argument("--prohibit", default=None,
                    help="file listing prohibited video names (VOT2020)")
     return p.parse_args(argv)
@@ -65,6 +68,8 @@ def video_frame_lists(data_dir: str, dataset: str, max_frames: int):
 
 
 def main(argv=None):
+    from usot_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     from usot_tpu.preprocessing.crop_gen import (build_train_json,
                                                  crop_video_frames,
                                                  save_train_json)
@@ -117,7 +122,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     with open(join(args.output_dir, "raw.json"), "w") as f:
         json.dump(raw, f)
-    annotations = build_train_json(raw, prohibit_file=args.prohibit)
+    annotations = build_train_json(raw, prohibit_file=args.prohibit,
+                                   quality_gate=not args.keep_all)
     save_train_json(annotations, join(args.output_dir, "train.json"))
     print(f"wrote {len(annotations)} videos to train.json")
 

@@ -22,12 +22,23 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default="VOT2018")
     p.add_argument("--snapshot_dir", default="var/snapshot")
     p.add_argument("--processes", type=int, default=1)
+    # passthrough to cli.test (the onekey pipeline points these at its
+    # own synthetic benchmark + result dirs)
+    p.add_argument("--dataset_root", default=None)
+    p.add_argument("--result_dir", default=None)
+    p.add_argument("--mem_size", type=int, default=None)
+    p.add_argument("--engine", default=None)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
     epochs = list(range(args.start_epoch, args.end_epoch + 1))
+    passthrough = []
+    for flag in ("dataset_root", "result_dir", "mem_size", "engine"):
+        val = getattr(args, flag)
+        if val is not None:
+            passthrough += [f"--{flag}", str(val)]
     cmds = []
     for e in epochs:
         ckpt = os.path.join(args.snapshot_dir, f"checkpoint_e{e}.ckpt")
@@ -35,7 +46,8 @@ def main(argv=None):
             continue
         cmds.append([sys.executable, "-m", "usot_tpu.cli.test",
                      "--arch", args.arch, "--resume", ckpt,
-                     "--dataset", args.dataset, "--epoch_test", "True"])
+                     "--dataset", args.dataset, "--epoch_test", "True",
+                     *passthrough])
 
     if args.processes <= 1:
         for cmd in cmds:

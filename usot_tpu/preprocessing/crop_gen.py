@@ -131,7 +131,8 @@ def memory_bounds(bbox_seq_list, idx, search_gap=2, max_frame_gap=320,
 
 
 def build_train_json(raw_annotations: dict, search_gap=2, max_frame_gap=320,
-                     prohibit_file: str | None = None):
+                     prohibit_file: str | None = None,
+                     quality_gate: bool = True):
     """raw: {video: {track_id: {'frames': [[x1,y1,x2,y2], ...],
                                 'freq': [[st, lt], ...],
                                 'meta': {bbox_picked_freq, corner_bbox_freq,
@@ -153,8 +154,12 @@ def build_train_json(raw_annotations: dict, search_gap=2, max_frame_gap=320,
             meta = track["meta"]
             freq = meta["bbox_picked_freq"]
             corner_freq = meta["corner_bbox_freq"]
-            if freq < 0.35 or corner_freq > 0.4 \
-                    or freq - corner_freq / 3 < 0.33:
+            if quality_gate and (freq < 0.35 or corner_freq > 0.4
+                                 or freq - corner_freq / 3 < 0.33):
+                # pseudo-box quality gates (ref gen_json.py:100-181);
+                # quality_gate=False keeps every track — smoke-test
+                # pipelines with an untrained flow net have no hope of
+                # passing the real thresholds
                 continue
             frame_sz = meta["frame_sz"]
             frames = track["frames"]
