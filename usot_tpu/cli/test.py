@@ -395,6 +395,8 @@ def _runner_of(engine, model, variables):
 
 
 def main(argv=None):
+    from usot_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
 
     from usot_tpu.models.usot import build_usot, init_variables
