@@ -154,8 +154,10 @@ def main():
     # real encode pass, fill the rings with random data
     zf_enc = model.apply(variables, zf, method=USOTNet.encode_template)
     fe = model.apply(variables, feat, method=USOTNet.encode_memory_kernels)
+    # MAXF + 1: scratch slot for invalid-frame writes
     mem_enc = tuple(jnp.asarray(
-        rng.normal(size=(B, MAXF) + tuple(f.shape[1:])), dtype) for f in fe)
+        rng.normal(size=(B, MAXF + 1) + tuple(f.shape[1:])), dtype)
+        for f in fe)
     init_enc = tuple(jnp.asarray(
         rng.normal(size=(B, 2) + tuple(f.shape[1:])), dtype) for f in fe)
     state = EngineState(pos=pos, sz=sz_b,
@@ -167,15 +169,19 @@ def main():
 
     def f_full_native(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = engine._frame_step_batched(variables, avg, hw, origin_b,
-                                              st, frames)
+        new, out = engine._frame_step_batched(variables, avg, hw,
+                                              origin_b, st, frames,
+                                              jnp.ones((B,), bool))
         return jnp.sum(out[0]) * 1e-9
 
-    vstep = jax.vmap(engine._frame_step, in_axes=(None, 0, 0, 0, 0, 0))
+    vstep = jax.vmap(engine._frame_step,
+                     in_axes=(None, 0, 0, 0, 0, 0, 0))
+    valid_b = jnp.ones((B,), bool)
 
     def f_full_vmap(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = vstep(variables, avg, hw, origin_b, st, frames)
+        new, out = vstep(variables, avg, hw, origin_b, st, frames,
+                         valid_b)
         return jnp.sum(out[0]) * 1e-9
 
     run("crop (u8 flat->255)", f_crop)
@@ -199,7 +205,8 @@ def main():
         def chunk(st0, fr, vd):
             def body(carry, xs):
                 frame, is_valid = xs
-                new, out = vstep(variables, avg, hw, origin_b, carry, frame)
+                new, out = vstep(variables, avg, hw, origin_b, carry,
+                                 frame, is_valid)
                 if with_select:
                     keep = lambda n, o: jnp.where(
                         is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)

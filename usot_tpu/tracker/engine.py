@@ -90,15 +90,28 @@ def _memory_write(mem_feat, mem_conf, mem_idx, mem_len, feat, score):
     return rings[0], mem_conf, mem_idx, mem_len
 
 
-def _memory_write_multi(rings, mem_conf, mem_idx, mem_len, feats, score):
+def _memory_write_multi(rings, mem_conf, mem_idx, mem_len, feats, score,
+                        valid=None):
     """Append one frame to N parallel rings (the engine keeps the 3
     multi-scale ENCODINGS of each memory frame; all share one
-    confidence/index bookkeeping). rings[i]: (MAX, h_i, w_i, C);
-    feats[i]: (1, h_i, w_i, C)."""
-    write_idx = _write_slot(mem_conf, mem_idx, mem_len, rings[0].shape[0])
+    confidence/index bookkeeping). rings[i]: (S, h_i, w_i, C);
+    feats[i]: (1, h_i, w_i, C).
+
+    valid (scan padding mask): when given, the rings carry ONE EXTRA
+    scratch slot (S = len(mem_conf) + 1) and an invalid frame's feature
+    is written there — the real slots are untouched, so the chunk scan
+    never needs a whole-ring select to freeze finished videos (ring
+    selects cost ~ms/frame of pure HBM traffic at (B, MAX, 7, 7, 256)
+    scale). The small conf/idx/len bookkeeping stays unconditional here
+    and is masked by the caller's cheap keep-select."""
+    max_frames = mem_conf.shape[0]
+    write_idx = _write_slot(mem_conf, mem_idx, mem_len, max_frames)
+    ring_idx = write_idx
+    if valid is not None:
+        ring_idx = jnp.where(valid, write_idx, max_frames)
     rings = tuple(
         jax.lax.dynamic_update_slice(
-            r, f.astype(r.dtype), (write_idx,) + (0,) * (r.ndim - 1))
+            r, f.astype(r.dtype), (ring_idx,) + (0,) * (r.ndim - 1))
         for r, f in zip(rings, feats))
     mem_conf = mem_conf.at[write_idx].set(score)
     mem_idx = mem_idx.at[write_idx].set(mem_len)
@@ -157,6 +170,26 @@ def _assemble_queue_traced(init_feats, mem_feat, mem_conf, mem_idx, mem_len,
     picks = _queue_picks(mem_conf, mem_idx, mem_len, n_queue)
     sampled = mem_feat[picks]                     # (n_update+1, 7, 7, C)
     return jnp.concatenate([init_feats, sampled], axis=0)
+
+
+def _freeze_invalid(new: EngineState, old: EngineState, is_valid):
+    """Scan-padding carry freeze, sized for the hardware: only the cheap
+    bookkeeping fields get a where-select. The big ring tensors are
+    untouched on invalid frames by construction (the scratch-slot write
+    in _memory_write_multi), and the template/init encodings are never
+    modified by the step — selecting them too would move the whole
+    multi-GB carry through HBM every frame. is_valid: scalar or (B,)."""
+    def keep(n, o):
+        return jnp.where(
+            jnp.reshape(is_valid, jnp.shape(is_valid)
+                        + (1,) * (n.ndim - jnp.ndim(is_valid))), n, o)
+
+    return EngineState(
+        pos=keep(new.pos, old.pos), sz=keep(new.sz, old.sz),
+        zf_enc=new.zf_enc, init_enc=new.init_enc, mem_enc=new.mem_enc,
+        mem_conf=keep(new.mem_conf, old.mem_conf),
+        mem_idx=keep(new.mem_idx, old.mem_idx),
+        mem_len=keep(new.mem_len, old.mem_len))
 
 
 def make_consts(p) -> dict:
@@ -292,7 +325,7 @@ class ScanEngine:
     # ---- one frame ----
 
     def _frame_step(self, variables, avg, im_hw, origin,
-                    carry: EngineState, frame_u8):
+                    carry: EngineState, frame_u8, is_valid):
         """One tracked frame. frame_u8: (H, W*3) channel-flat uint8 — the
         flat layout tiles exactly on TPU ((H, W, 3) would pad the minor
         dim 3 -> 128 lanes: 42x HBM + transfer blowup). avg: (3,);
@@ -346,7 +379,7 @@ class ScanEngine:
 
         mem_enc, mem_conf, mem_idx, mem_len = _memory_write_multi(
             carry.mem_enc, carry.mem_conf, carry.mem_idx, carry.mem_len,
-            feat_enc, best_score)
+            feat_enc, best_score, valid=is_valid)
 
         im_h = im_hw[0].astype(jnp.float32)
         im_w = im_hw[1].astype(jnp.float32)
@@ -366,10 +399,9 @@ class ScanEngine:
             def body(carry, xs):
                 frame, is_valid = xs
                 new_carry, out = self._frame_step(variables, avg, im_hw,
-                                                  origin, carry, frame)
-                keep = lambda n, o: jnp.where(is_valid, n, o)
-                sel_carry = jax.tree.map(keep, new_carry, carry)
-                return sel_carry, out
+                                                  origin, carry, frame,
+                                                  is_valid)
+                return _freeze_invalid(new_carry, carry, is_valid), out
 
             carry, outs = jax.lax.scan(body, carry, (frames_u8, valid),
                                        unroll=self.unroll)
@@ -433,8 +465,9 @@ class ScanEngine:
         allocated on DEVICE (jnp.zeros) — uploading a zeroed
         (MAX, ...) buffer through a slow host link costs seconds."""
         cd = self.carry_dtype
+        # +1: scratch slot for invalid-frame writes (see _memory_write_multi)
         mem_enc = tuple(
-            jnp.zeros((self.max_frames,) + tuple(f.shape[1:]), cd)
+            jnp.zeros((self.max_frames + 1,) + tuple(f.shape[1:]), cd)
             .at[0].set(f[0].astype(cd))
             for f in feat_enc)
         mem_conf = jnp.zeros((self.max_frames,), jnp.float32)
@@ -572,7 +605,7 @@ class BatchScanEngine(ScanEngine):
         return fn
 
     def _frame_step_batched(self, variables, avg_b, im_hw_b, origin_b,
-                            carry, frames):
+                            carry, frames, is_valid):
         """Natively-batched frame step: the network sees real (B, ...)
         batches (full MXU tiles) — only the light gather/scalar pieces
         (crop, queue sampling) are vmapped. A vmap-of-batch-1 formulation
@@ -693,7 +726,7 @@ class BatchScanEngine(ScanEngine):
 
         mem_enc, mem_conf, mem_idx, mem_len = jax.vmap(_memory_write_multi)(
             carry.mem_enc, carry.mem_conf, carry.mem_idx, carry.mem_len,
-            feat_enc, best_score)
+            feat_enc, best_score, is_valid)
 
         im_h = im_hw_b[:, 0]
         im_w = im_hw_b[:, 1]
@@ -712,7 +745,7 @@ class BatchScanEngine(ScanEngine):
             step = self._frame_step_batched
         else:
             step = jax.vmap(self._frame_step,
-                            in_axes=(None, 0, 0, 0, 0, 0))
+                            in_axes=(None, 0, 0, 0, 0, 0, 0))
 
         def chunk_fn(variables, carry, frames_u8, valid, avg, im_hw,
                      origin):
@@ -720,11 +753,8 @@ class BatchScanEngine(ScanEngine):
             def body(carry, xs):
                 frame, is_valid = xs
                 new_carry, out = step(variables, avg, im_hw, origin,
-                                      carry, frame)
-                keep = lambda n, o: jnp.where(
-                    is_valid.reshape((-1,) + (1,) * (n.ndim - 1)), n, o)
-                sel = jax.tree.map(keep, new_carry, carry)
-                return sel, out
+                                      carry, frame, is_valid)
+                return _freeze_invalid(new_carry, carry, is_valid), out
 
             carry, outs = jax.lax.scan(body, carry, (frames_u8, valid),
                                        unroll=self.unroll)
@@ -758,8 +788,9 @@ class BatchScanEngine(ScanEngine):
         # gigabyte-scale zero buffers through the host link at init.
         B = len(hosts)
         cd = self.carry_dtype
+        # +1: scratch slot for invalid-frame writes (see _memory_write_multi)
         mem_enc = tuple(
-            jnp.zeros((B, self.max_frames) + tuple(f.shape[1:]), cd)
+            jnp.zeros((B, self.max_frames + 1) + tuple(f.shape[1:]), cd)
             .at[:, 0].set(f[0::2].astype(cd))
             for f in feat_enc)
         init_enc = tuple(
