@@ -146,7 +146,8 @@ def end_to_end_shards(args, model, tx, state, device_only_mem):
     import jax
     import jax.numpy as jnp
 
-    from usot_tpu.data.shards import ShardLoader, read_meta
+    from usot_tpu.data.shards import (ShardLoader, device_prefetch,
+                                      read_meta)
     from usot_tpu.train.step import make_train_step
 
     b = args.mem_batch
@@ -168,8 +169,8 @@ def end_to_end_shards(args, model, tx, state, device_only_mem):
 
     n_steps = 0
     t = time.perf_counter()
-    for batch in loader:
-        st, metrics = step(st, jax.device_put(batch),
+    for batch in device_prefetch(loader):
+        st, metrics = step(st, batch,
                            jnp.float32(0.005), jnp.float32(0.5))
         n_steps += 1
     float(metrics["loss"])  # sync

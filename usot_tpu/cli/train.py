@@ -137,8 +137,10 @@ def main(argv=None):
         batch_time = AverageMeter()
         losses = AverageMeter()
         end = time.time()
-        for it, batch in enumerate(loader):
-            batch = shard_batch(mesh, batch)
+        from usot_tpu.data.shards import device_prefetch
+        batches = device_prefetch(loader,
+                                  put=lambda b: shard_batch(mesh, b))
+        for it, batch in enumerate(batches):
             state, metrics = step_fn(state, batch, jnp.float32(lr),
                                      jnp.float32(cls_ratio))
             loss = float(metrics["loss"])

@@ -107,6 +107,69 @@ def read_meta(shard_dir: str) -> dict | None:
         return json.load(f)
 
 
+def device_prefetch(iterable, put=None, depth: int = 2,
+                    fence: bool = False):
+    """Yield device-resident batches with `depth` uploads in flight.
+
+    jax.device_put is asynchronous: starting batch i+1's upload before
+    batch i's step is dispatched lets H2D overlap compute, turning
+    serialized (upload + step) into pipelined max(upload, step).
+
+    fence=True drives the uploads from a worker thread and forces each
+    to completion there with a tiny dependent reduction. Measured on
+    the tunneled dev chip this is WORSE (6.7 vs 36.8 samples/s): the
+    fencing reduction lands behind the in-flight train step on the
+    serial device queue and convoys. Default False; on a normal PCIe
+    host device_put transfers eagerly and plain lookahead pipelines."""
+    import collections
+    import queue as _queue
+    import threading
+
+    import jax
+
+    put = put or jax.device_put
+
+    if not fence:
+        q: collections.deque = collections.deque()
+        it = iter(iterable)
+        try:
+            while len(q) < depth:
+                q.append(put(next(it)))
+        except StopIteration:
+            pass
+        while q:
+            batch = q.popleft()
+            try:
+                q.append(put(next(it)))
+            except StopIteration:
+                pass
+            yield batch
+        return
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    out: _queue.Queue = _queue.Queue(maxsize=depth)
+
+    def worker():
+        for host_batch in iterable:
+            dev = put(host_batch)
+            # force every leaf's transfer to finish in THIS thread
+            total = sum(jnp.sum(jnp.ravel(v)[:1].astype(jnp.float32))
+                        for v in jax.tree.leaves(dev))
+            np.asarray(total)
+            out.put(dev)
+        out.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        batch = out.get()
+        if batch is None:
+            break
+        yield batch
+
+
 class ShardLoader:
     """Streams collated batches from a shard directory.
 
