@@ -57,13 +57,17 @@ def xcorr_depthwise_conv(x, kernel):
     _, hk, wk, _ = kernel.shape
     x_f = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hx, wx, b * c)
     k_f = jnp.transpose(kernel, (1, 2, 0, 3)).reshape(hk, wk, 1, b * c)
+    # No preferred_element_type=f32 here: the conv VJP would build its
+    # transposed conv with an f32 cotangent against bf16 operands and
+    # fail ("requires arguments to have the same dtypes"). The TPU MXU
+    # accumulates in f32 internally either way, and the result is cast
+    # to x.dtype below, so this changes nothing numerically.
     out = lax.conv_general_dilated(
         x_f, k_f,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=b * c,
-        preferred_element_type=jnp.float32,
     )
     ho, wo = out.shape[1], out.shape[2]
     out = out.reshape(ho, wo, b, c)
