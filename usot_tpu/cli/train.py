@@ -38,6 +38,12 @@ def parse_args(argv=None):
                         help="shard-cache root (see cli.make_shards); "
                         "epochs with a prebuilt epoch_XXX dir stream "
                         "from disk, others fall back to the live loader")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (params stay f32). "
+                        "bfloat16 is ~1.66x faster on TPU with loss "
+                        "trajectories within ~1.6%% of f32 "
+                        "(tools/bf16_train_parity.py; PERF_NOTES.md)")
     return parser.parse_args(argv)
 
 
@@ -63,7 +69,9 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_dev)
     logger.info("devices: %d (mesh %s)", n_dev, mesh.shape)
 
-    model = build_usot(mem_size=tc.MEMORY_NUM)
+    model = build_usot(mem_size=tc.MEMORY_NUM,
+                       dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                       else jnp.float32)
     variables = init_variables(model, jax.random.PRNGKey(0))
 
     pretrain_path = os.path.join("pretrain", tc.PRETRAIN)
