@@ -95,12 +95,26 @@ def default_config() -> EDict:
     te.DATA = "VOT2018"
     te.START_EPOCH = 10
     te.END_EPOCH = 30
+    te.DATASET_ROOT = "datasets_test"
+    te.RESULT_DIR = "var/result"
+    te.ENGINE = "parity"
+    te.MEM_SIZE = 4
+    te.PROCESSES = 1
+
+    # ------ Preprocessing (pseudo-label factory; cli.onekey stage) ------
+    pre = cfg.USOT.PREPROCESS = EDict()
+    pre.ISTRUE = False
+    pre.DATA_DIR = ""
+    pre.OUTPUT_DIR = ""
+    pre.DATASET = "got10k"
+    pre.INSTANCE_SIZE = 511
+    pre.KEEP_ALL = False
 
     return cfg
 
 
 def _update_dict(cfg: EDict, k, v, model_name: str) -> None:
-    if k in ("TRAIN", "TEST"):
+    if k in ("TRAIN", "TEST", "PREPROCESS"):
         for vk, vv in v.items():
             cfg[model_name][k][vk] = vv
     elif k == "DATASET":

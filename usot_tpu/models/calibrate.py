@@ -41,8 +41,11 @@ def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
     calib_model = USOTNet(mem_size=1, search_size=search, score_size=score,
                           sf_size=score, dtype=model.dtype)
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        calib_dev = jax.devices("cpu")[0]
+    except RuntimeError:  # tunneled runtimes may expose no CPU backend
+        calib_dev = jax.devices()[0]
+    with jax.default_device(calib_dev):
         t = jnp.asarray(rng.random((2, template, template, 3))
                         .astype(np.float32) * amplitude)
         s = jnp.asarray(rng.random((2, search, search, 3))

@@ -266,8 +266,13 @@ def init_variables(model: USOTNet, rng, batch: int = 1):
     single host core or a remote-compile accelerator.
     """
     del batch  # parameter shapes are batch-independent
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        init_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        # Tunneled TPU runtimes may expose no CPU backend at all; init on
+        # the default device instead (still cheap — tiny shapes).
+        init_dev = jax.devices()[0]
+    with jax.default_device(init_dev):
         z = jnp.zeros((1, 63, 63, 3), model.dtype)
         tb = jnp.asarray([[1.0, 1.0, 5.0, 5.0]], model.dtype)
         v_backbone = model.init(rng, z, tb,
