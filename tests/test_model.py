@@ -25,6 +25,22 @@ class TestBackbone:
         out = bb.apply(v, jnp.zeros((1, 271, 271, 3)))
         assert out.shape == (1, 33, 33, 1024)
 
+    @pytest.mark.parametrize("size", [33, 34])  # odd (needs pad) and even
+    def test_s2d_stem_exact(self, size):
+        """The space-to-depth stem rewrite must be numerically equivalent
+        to the direct 7x7/s2 conv with the SAME parameter tree."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32)
+                        * 50.0)
+        bb = ResNetPlus2()
+        v = bb.init(jax.random.PRNGKey(3), x)
+        bb_s2d = ResNetPlus2(s2d_stem=True)
+        ref = bb.apply(v, x)
+        got = bb_s2d.apply(v, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_param_count_matches_resnet50_trunk(self):
         # ResNet-50 through layer3 is 8.56M; the 3x3 (not 1x1) downsample
         # convs in layer2/layer3 add 256*512*8 + 512*1024*8 = 5.24M

@@ -17,8 +17,67 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class _StemKernel(nn.Module):
+    """Bare (7,7,3,64) kernel param at the same tree path nn.Conv would
+    use (`<parent>/conv/kernel`), so checkpoints/converters are agnostic
+    to how the stem is *applied* (direct 7x7/s2 vs space-to-depth)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64), jnp.float32)
+
+
+class StemConvBN(nn.Module):
+    """7x7 stride-2 VALID stem conv + BN, with an optional exact
+    space-to-depth rewrite for TPU:
+
+        conv7x7/s2(x) == conv4x4/s1(s2d2(pad_to_even(x)), rearrange(w))
+
+    where s2d2 folds 2x2 pixel blocks into 12 channels and rearrange pads
+    the kernel 7->8 with zeros (the zero taps are exactly the ones that
+    would read the padded row/col, so any pad value is correct). A 3-channel
+    NHWC activation tiles its minor dim 3->128 lanes on TPU; the rewrite
+    quadruples the useful lane occupancy and removes the strided-window
+    overlap, at identical math (same parameter!).
+    """
+    dtype: Any = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x, bn_train: bool):
+        w = _StemKernel(dtype=self.dtype, name="conv")()
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d:
+            out = jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding="VALID",
+                dimension_numbers=dn)
+        else:
+            n, h, wd, c = x.shape
+            ph, pw = h % 2, wd % 2
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+            hh, ww = x.shape[1] // 2, x.shape[2] // 2
+            xs = x.reshape(n, hh, 2, ww, 2, c)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh, ww, 4 * c)
+            wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            ws = wp.reshape(4, 2, 4, 2, c, 64)
+            ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+            out = jax.lax.conv_general_dilated(
+                xs, ws, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=dn)
+        out = nn.BatchNorm(
+            use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn")(out)
+        return out
 
 
 class ConvBN(nn.Module):
@@ -94,6 +153,7 @@ class ResNetPlus2(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    s2d_stem: bool = False  # exact TPU rewrite of the stem (see StemConvBN)
 
     def _stage(self, x, planes, blocks, stride, dilation, name, bn_train):
         if dilation > 1:
@@ -134,7 +194,7 @@ class ResNetPlus2(nn.Module):
         """x: (N, H, W, 3). BN modes: stem (conv1/bn1) and stages separately,
         mirroring the staged freeze/unfreeze schedule
         (ref: scripts/train_usot.py:72-102)."""
-        x = ConvBN(64, 7, stride=2, padding=0, dtype=self.dtype, name="stem")(
+        x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem, name="stem")(
             x, stem_bn_train)
         x = nn.relu(x)
         x = _max_pool_3x3_s2_p1(x)

@@ -66,9 +66,12 @@ class USOTNet(nn.Module):
     # Fused Pallas GroupDW correlation (inference-only: the kernel has no
     # VJP). TPU engine builders flip this on; training keeps it off.
     fused_xcorr: bool = False
+    # Exact space-to-depth stem rewrite (backbone.StemConvBN): same params,
+    # same math, TPU-friendlier layout.
+    s2d_stem: bool = False
 
     def setup(self):
-        self.features = ResNetPlus2(dtype=self.dtype)
+        self.features = ResNetPlus2(dtype=self.dtype, s2d_stem=self.s2d_stem)
         self.neck = AdjustLayer(out_channels=256, dtype=self.dtype)
         self.connect = BoxTowerReg(out_channels=256, tower_num=4,
                                    dtype=self.dtype,
