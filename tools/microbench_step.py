@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--max-frames", type=int, default=256)
     ap.add_argument("--dtype", default="bf16")
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem (exact rewrite) A/B")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,7 @@ def main():
     MAXF = args.max_frames
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    model = build_usot(mem_size=4, dtype=dtype)
+    model = build_usot(mem_size=4, dtype=dtype, s2d_stem=args.s2d)
     cache = "var/bench_variables.msgpack"
     if os.path.exists(cache):
         from flax import serialization
