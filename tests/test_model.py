@@ -129,3 +129,20 @@ class TestUSOTNet:
         gsum = sum(float(jnp.sum(jnp.abs(g))) for g in
                    jax.tree.leaves(grads["connect"]))
         assert gsum > 0
+
+
+class TestFusedInit:
+    def test_init_variables_fused_matches_plain(self):
+        """init_variables must work for a fused_xcorr model even when the
+        init device cannot lower Pallas (the CPU fallback used to crash
+        with 'Only interpret mode is supported on CPU backend'), and the
+        parameter tree must be identical to the non-fused model's."""
+        fused = build_usot(mem_size=2, fused_xcorr=True)
+        plain = build_usot(mem_size=2, fused_xcorr=False)
+        vf = init_variables(fused, jax.random.PRNGKey(0))
+        vp = init_variables(plain, jax.random.PRNGKey(0))
+        leaves_f = jax.tree_util.tree_leaves_with_path(vf)
+        leaves_p = jax.tree_util.tree_leaves_with_path(vp)
+        assert [p for p, _ in leaves_f] == [p for p, _ in leaves_p]
+        for (_, a), (_, b) in zip(leaves_f, leaves_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -186,10 +186,76 @@ def main():
                          valid_b)
         return jnp.sum(out[0]) * 1e-9
 
+    # ---- component-level stages of the ENCODED fast path ----
+    # (the production engine carries pre-encoded kernels; the stages
+    # below attribute its per-frame head cost piece by piece)
+    queue_enc = tuple(jnp.asarray(
+        rng.normal(size=(B, 7) + tuple(f.shape[1:])), dtype) for f in fe)
+    zf_enc1 = jax.tree.map(lambda t: t, zf_enc)  # (B, h, w, C) tensors
+    cls_x_real, reg_x_real = model.apply(
+        variables, xf, method=lambda m, s: m.connect.encode_search(s))
+    dw_maps = jnp.asarray(
+        rng.normal(size=(B, 7, p.score_size, p.score_size, 256)), dtype)
+    fused_map = jnp.asarray(
+        rng.normal(size=(B, p.score_size, p.score_size, 256)), dtype)
+
+    def f_memhead_enc(c):
+        xf_t = xf + c.astype(dtype)
+        cls, bbox, cls_mem = model.apply(
+            variables, xf_t, zf_enc1, queue_enc,
+            method=USOTNet.track_memory_encoded_batched)
+        return (jnp.sum(cls[:, 0, 0]) + jnp.sum(cls_mem[:, 0, 0])) \
+            .astype(jnp.float32)
+
+    def f_enc_search(c):
+        xf_t = xf + c.astype(dtype)
+        cx, rx = model.apply(
+            variables, xf_t, method=lambda m, s: m.connect.encode_search(s))
+        return (jnp.sum(cx[0][:, 0, 0, :8]) + jnp.sum(rx[0][:, 0, 0, :8])) \
+            .astype(jnp.float32)
+
+    def f_groupdw_multi(c):
+        cx = [t + c.astype(dtype) for t in cls_x_real]
+        qe = [q.reshape((B * 7,) + q.shape[2:]) for q in queue_enc]
+        out = model.apply(
+            variables, cx, qe,
+            method=lambda m, a, b: m.connect.cls_dw.multi(b, a, 7))
+        return jnp.sum(out[:, 0, 0, 0, :8]).astype(jnp.float32)
+
+    def f_conf_fusion(c):
+        x = dw_maps + c.astype(dtype)
+        out = model.apply(
+            variables, x,
+            method=lambda m, a: m.connect.conf_fusion(a, False))
+        return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+    def f_mem_tower(c):
+        x = fused_map + c.astype(dtype)
+        out = model.apply(
+            variables, x,
+            method=lambda m, a: m.connect.cls_memory_pred(
+                m.connect.cls_memory_tower(a, False)))
+        return jnp.sum(out[:, 0, 0]).astype(jnp.float32)
+
+    def f_offline_towers(c):
+        x = fused_map + c.astype(dtype)
+        out = model.apply(
+            variables, x,
+            method=lambda m, a: m.connect.cls_pred(m.connect.cls_tower(
+                a, False)) + m.connect.bbox_pred(m.connect.bbox_tower(
+                    a, False))[..., :1])
+        return jnp.sum(out[:, 0, 0]).astype(jnp.float32)
+
     run("crop (u8 flat->255)", f_crop)
     run("backbone+neck", f_backbone)
     run("offline head", f_offline)
     run("offline+memory head", f_memhead)
+    run("ENC offline+memory head", f_memhead_enc)
+    run("  encode_search (6 convs)", f_enc_search)
+    run("  groupdw multi (fused)", f_groupdw_multi)
+    run("  conf_fusion (B*M maps)", f_conf_fusion)
+    run("  memory tower+pred", f_mem_tower)
+    run("  offline towers+preds", f_offline_towers)
     run("queue assembly", f_queue)
     run("memory write", f_memwrite)
     run("prpool feature", f_pool)

@@ -275,6 +275,10 @@ def init_variables(model: USOTNet, rng, batch: int = 1):
         # Tunneled TPU runtimes may expose no CPU backend at all; init on
         # the default device instead (still cheap — tiny shapes).
         init_dev = jax.devices()[0]
+    # The fused Pallas correlation can't lower for a CPU init device;
+    # the parameter tree is identical either way, so init a plain clone.
+    if model.fused_xcorr and init_dev.platform != "tpu":
+        model = model.clone(fused_xcorr=False)
     with jax.default_device(init_dev):
         z = jnp.zeros((1, 63, 63, 3), model.dtype)
         tb = jnp.asarray([[1.0, 1.0, 5.0, 5.0]], model.dtype)

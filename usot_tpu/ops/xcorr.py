@@ -30,6 +30,20 @@ from jax import lax
 _GROUPED_CONV_MAX_GROUPS = 4096  # measured compile cliff ~8192
 
 
+def _effective_platform() -> str:
+    """Platform the current computation actually lowers for.
+
+    `jax.default_backend()` alone is wrong inside a
+    `jax.default_device(cpu)` scope on a TPU host (used by
+    init_variables to keep weight init off the tunnel): the global
+    backend still reads "tpu" while ops lower for CPU, which crashes a
+    non-interpret Pallas call. Honor the default_device override first."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def xcorr_depthwise(x, kernel):
     """x: (B, Hx, Wx, C); kernel: (B, Hk, Wk, C) -> (B, Ho, Wo, C), VALID."""
     b, c = x.shape[0], x.shape[3]
@@ -87,10 +101,10 @@ def xcorr_groupdw(xs, ks, use_pallas: bool | None = None):
     interpret mode is orders of magnitude slower — pass use_pallas=True
     explicitly in parity tests that exercise the kernel on CPU)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _effective_platform() == "tpu"
     if use_pallas:
         from usot_tpu.ops.pallas.xcorr_kernel import xcorr_groupdw_pallas
-        interpret = jax.default_backend() != "tpu"
+        interpret = _effective_platform() != "tpu"
         return xcorr_groupdw_pallas(xs, ks, interpret=interpret)
     out = None
     b, m = ks[0].shape[0], ks[0].shape[1]
