@@ -74,8 +74,8 @@ def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
                 mutable=["batch_stats"])
             return mutated["batch_stats"]
 
-        params = jax.device_put(variables["params"], cpu)
-        stats = jax.device_put(variables["batch_stats"], cpu)
+        params = jax.device_put(variables["params"], calib_dev)
+        stats = jax.device_put(variables["batch_stats"], calib_dev)
         for _ in range(n_iter):
             new_stem = stem_pass({"params": params, "batch_stats": stats})
             merged = dict(stats)
