@@ -146,3 +146,51 @@ class TestFusedInit:
         assert [p for p, _ in leaves_f] == [p for p, _ in leaves_p]
         for (_, a), (_, b) in zip(leaves_f, leaves_p):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFoldedHead:
+    """The folded/fused inference head (BN folded into kernels, the 6
+    search-encoder convs fused to 3 double-wide, ConfFusion's 2 to 1)
+    must reproduce track_memory_encoded_batched to f32 rounding."""
+
+    def test_fused_matches_reference_path(self, small_model_vars):
+        from usot_tpu.models.head import fold_inference_head
+        model, variables = small_model_vars
+        rng = np.random.default_rng(3)
+        B, M = 2, 5
+        xf = jnp.asarray(rng.normal(size=(B, 31, 31, 256)), jnp.float32)
+        zf = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(B * M, 7, 7, 256)),
+                            jnp.float32)
+        zf_enc = model.apply(variables, zf, method=USOTNet.encode_template)
+        q = model.apply(variables, feats,
+                        method=USOTNet.encode_memory_kernels)
+        queue_enc = tuple(t.reshape((B, M) + t.shape[1:]) for t in q)
+
+        ref = model.apply(variables, xf, zf_enc, queue_enc,
+                          method=USOTNet.track_memory_encoded_batched)
+        fused = fold_inference_head(variables)
+        got = model.apply(variables, xf, zf_enc, queue_enc, fused,
+                          method=USOTNet.track_memory_encoded_fused)
+        for r, g, name in zip(ref, got, ("cls", "bbox", "cls_mem")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=name)
+
+    def test_engine_fused_head_optin(self, small_model_vars):
+        """fused_head is opt-in (measured 3% SLOWER than XLA's own
+        folding on v5e — PERF_NOTES.md); the pack rides inside the
+        engine's variables tree when enabled."""
+        from usot_tpu.tracker.config import TrackerConfig
+        from usot_tpu.tracker.engine import ScanEngine
+        model, variables = small_model_vars
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        eng = ScanEngine(model, variables, p, im_h=120, im_w=160,
+                         max_frames=16, chunk=2, fused_head=True)
+        assert "fused_head" in eng.variables
+        eng2 = ScanEngine(model, variables, p, im_h=120, im_w=160,
+                          max_frames=16, chunk=2)
+        assert "fused_head" not in eng2.variables

@@ -169,9 +169,11 @@ def main():
 
     origin_b = jnp.zeros((B, 2), jnp.float32)
 
+    evars = engine.variables  # includes the folded-head pack (default)
+
     def f_full_native(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = engine._frame_step_batched(variables, avg, hw,
+        new, out = engine._frame_step_batched(evars, avg, hw,
                                               origin_b, st, frames,
                                               jnp.ones((B,), bool))
         return jnp.sum(out[0]) * 1e-9
@@ -182,7 +184,7 @@ def main():
 
     def f_full_vmap(c, st0):
         st = st0._replace(pos=st0.pos + c)
-        new, out = vstep(variables, avg, hw, origin_b, st, frames,
+        new, out = vstep(evars, avg, hw, origin_b, st, frames,
                          valid_b)
         return jnp.sum(out[0]) * 1e-9
 
@@ -204,6 +206,18 @@ def main():
         cls, bbox, cls_mem = model.apply(
             variables, xf_t, zf_enc1, queue_enc,
             method=USOTNet.track_memory_encoded_batched)
+        return (jnp.sum(cls[:, 0, 0]) + jnp.sum(cls_mem[:, 0, 0])) \
+            .astype(jnp.float32)
+
+    from usot_tpu.models.head import fold_inference_head
+    fused_pack = jax.device_put(jax.tree.map(
+        jnp.asarray, fold_inference_head(variables)))
+
+    def f_memhead_fold(c):
+        xf_t = xf + c.astype(dtype)
+        cls, bbox, cls_mem = model.apply(
+            variables, xf_t, zf_enc1, queue_enc, fused_pack,
+            method=USOTNet.track_memory_encoded_fused)
         return (jnp.sum(cls[:, 0, 0]) + jnp.sum(cls_mem[:, 0, 0])) \
             .astype(jnp.float32)
 
@@ -251,6 +265,7 @@ def main():
     run("offline head", f_offline)
     run("offline+memory head", f_memhead)
     run("ENC offline+memory head", f_memhead_enc)
+    run("ENC+FOLDED head", f_memhead_fold)
     run("  encode_search (6 convs)", f_enc_search)
     run("  groupdw multi (fused)", f_groupdw_multi)
     run("  conf_fusion (B*M maps)", f_conf_fusion)

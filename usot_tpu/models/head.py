@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from usot_tpu.ops.xcorr import xcorr_depthwise, xcorr_groupdw
 
 
@@ -242,4 +244,119 @@ class BoxTowerReg(nn.Module):
         fused = self.conf_fusion(cls_mem_dw, bn_train)  # (B, Ho, Wo, C)
         c_mem = self.cls_memory_tower(fused, bn_train)
         return 0.1 * self.cls_memory_pred(c_mem)
+
+    # -- folded-weight inference fast path (see fold_inference_head) --
+
+    def offline_fused_enc(self, xf, zf_enc, fused):
+        """Offline branch using FOLDED search-encoder weights.
+
+        The six search-side ConvBNRelu blocks (cls + reg x 3 dilations)
+        become three 512-wide convs with BatchNorm folded into the
+        kernels (inference-only; one conv op per dilation instead of
+        two, wider MXU tiles, no separate BN affine). Identical math to
+        offline_preenc up to f32 rounding of the fold.
+        """
+        cls_x, reg_x = _apply_fused_encoders(xf, fused)
+        cls_z, reg_z = zf_enc
+        bbox, cls, _, _ = self.offline_preenc(
+            xf, list(cls_z), list(reg_z), cls_x=cls_x, reg_x=reg_x)
+        return bbox, cls, cls_x
+
+    def memory_cls_fused(self, cls_x, cls_mem_zs, mem_size: int, fused):
+        """Memory branch with ConfFusion's two convs FOLDED into one
+        512-wide conv (conf||value; BN folded). Post-conv arithmetic
+        (relu, clamp [-6,4], exp, mem-dim normalize, weighted sum) is
+        unchanged from ConfFusion."""
+        if self.fused_xcorr:
+            cls_mem_dw = self.cls_dw.multi(cls_mem_zs, cls_x, mem_size)
+        else:
+            store_repeat = []
+            for x in cls_x:
+                b, h, w, c = x.shape
+                rep = jnp.repeat(x[:, None], mem_size, axis=1).reshape(
+                    b * mem_size, h, w, c)
+                store_repeat.append(rep)
+            dw = self.cls_dw(cls_mem_zs, store_repeat)
+            bm, ho, wo, c = dw.shape
+            cls_mem_dw = dw.reshape(
+                cls_x[0].shape[0], mem_size, ho, wo, c)
+
+        b, m, h, w, c = cls_mem_dw.shape
+        flat = cls_mem_dw.reshape(b * m, h, w, c)
+        w_cv, b_cv = fused["conf_value"]
+        y = _conv_nhwc(flat, w_cv.astype(flat.dtype), padding=1)
+        y = nn.relu(y + b_cv.astype(flat.dtype))
+        conf = jnp.clip(y[..., :c], -6.0, 4.0)
+        conf = jnp.exp(conf).reshape(b, m, h, w, c)
+        conf = conf / jnp.sum(conf, axis=1, keepdims=True)
+        value = y[..., c:].reshape(b, m, h, w, c)
+        fused_map = jnp.sum(conf * value, axis=1)
+
+        c_mem = self.cls_memory_tower(fused_map, False)
+        return 0.1 * self.cls_memory_pred(c_mem)
+
+
+def _conv_nhwc(x, w, padding=0, dilation=(1, 1)):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1),
+        padding=[(padding, padding)] * 2, rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+_ENC_DILATIONS = (("m11", (1, 1)), ("m12", (2, 1)), ("m21", (1, 2)))
+
+
+def _apply_fused_encoders(xf, fused):
+    """xf -> (cls_x, reg_x) lists via the three folded 512-wide convs."""
+    cls_x, reg_x = [], []
+    for (w, b), (_, dil) in zip(fused["encoders"], _ENC_DILATIONS):
+        y = _conv_nhwc(xf, w.astype(xf.dtype), padding=0, dilation=dil)
+        y = nn.relu(y + b.astype(xf.dtype))
+        half = y.shape[-1] // 2
+        cls_x.append(y[..., :half])
+        reg_x.append(y[..., half:])
+    return cls_x, reg_x
+
+
+def _fold_conv_bn(params, stats, eps=1e-5):
+    """Fold ConvBNRelu's BatchNorm (inference affine) into the conv:
+    W' = W * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)
+    (+ conv bias scaled, when present). Exact in f32."""
+    w = np.asarray(params["conv"]["kernel"], np.float32)
+    s = np.asarray(params["bn"]["scale"], np.float32) / np.sqrt(
+        np.asarray(stats["bn"]["var"], np.float32) + eps)
+    b = np.asarray(params["bn"]["bias"], np.float32) \
+        - np.asarray(stats["bn"]["mean"], np.float32) * s
+    if "bias" in params["conv"]:
+        b = b + np.asarray(params["conv"]["bias"], np.float32) * s
+    return w * s, b
+
+
+def fold_inference_head(variables):
+    """Precompute the folded/fused inference-head weights (host numpy).
+
+    Returns {"encoders": [(W(3,3,C,2C), b(2C)) x 3 dilations],
+             "conf_value": (W(3,3,C,2C), b(2C))} where each W is the
+    out-channel concatenation [cls||reg] / [conf||value] of the two
+    original ConvBNRelu blocks with their BatchNorm affines folded in.
+    Engines compute this ONCE per checkpoint; the per-frame step then
+    runs 3 encoder convs instead of 6 and 1 ConfFusion conv instead of
+    2, each at double width (better MXU aspect), with zero BN ops."""
+    params = variables["params"]["connect"]
+    stats = variables["batch_stats"]["connect"]
+    encoders = []
+    for name, _ in _ENC_DILATIONS:
+        wc, bc = _fold_conv_bn(params["cls_encode_s"][name],
+                               stats["cls_encode_s"][name])
+        wr, br = _fold_conv_bn(params["reg_encode_s"][name],
+                               stats["reg_encode_s"][name])
+        encoders.append((np.concatenate([wc, wr], axis=-1),
+                         np.concatenate([bc, br])))
+    wconf, bconf = _fold_conv_bn(params["conf_fusion"]["conf_gen"],
+                                 stats["conf_fusion"]["conf_gen"])
+    wval, bval = _fold_conv_bn(params["conf_fusion"]["value_gen"],
+                               stats["conf_fusion"]["value_gen"])
+    return {"encoders": encoders,
+            "conf_value": (np.concatenate([wconf, wval], axis=-1),
+                           np.concatenate([bconf, bval]))}
 

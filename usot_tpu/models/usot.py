@@ -153,6 +153,29 @@ class USOTNet(nn.Module):
         cls_mem = self.connect.memory_cls_preenc(cls_x, flat, mem_size=n_q)
         return cls, bbox, cls_mem
 
+    def track_memory_encoded_fused(self, xf, zf_enc, queue_enc, fused):
+        """track_memory_encoded with FOLDED inference-head weights.
+
+        `fused` is the output of head.fold_inference_head (engines
+        precompute it once per checkpoint and pass it through the jit):
+        the 6 search-encoder ConvBNRelu blocks collapse to 3 double-wide
+        convs and ConfFusion's 2 convs to 1, with all BatchNorm affines
+        folded into the kernels. Batched variant: queue_enc tensors are
+        (B, N_q, h_i, w_i, C); also accepts the batch-1 engine layout.
+        """
+        cls_z, reg_z = zf_enc
+        bbox, cls, cls_x = self.connect.offline_fused_enc(
+            xf, (list(cls_z), list(reg_z)), fused)
+        if queue_enc[0].ndim == 5:
+            b, n_q = queue_enc[0].shape[0], queue_enc[0].shape[1]
+            flat = [q.reshape((b * n_q,) + q.shape[2:]) for q in queue_enc]
+            m = n_q
+        else:  # (N_q, h, w, C) batch-1 engine layout
+            flat = list(queue_enc)
+            m = queue_enc[0].shape[0]
+        cls_mem = self.connect.memory_cls_fused(cls_x, flat, m, fused)
+        return cls, bbox, cls_mem
+
     def track_memory_batched(self, xf, zf, template_mem):
         """Batched variant of track_memory: B videos at once.
 

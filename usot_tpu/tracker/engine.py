@@ -288,8 +288,17 @@ class ScanEngine:
     def __init__(self, model: USOTNet, variables, p: TrackerConfig,
                  im_h: int, im_w: int, max_frames: int = 4096,
                  chunk: int = 64, unroll: int = 8, carry_dtype=None,
-                 crop_impl: str = "auto"):
+                 crop_impl: str = "auto", fused_head: bool = False):
         self.model = model
+        # Folded inference-head weights (BN folded into kernels; the 6
+        # search-encoder convs fused to 3 double-wide, ConfFusion's 2 to
+        # 1): computed once per checkpoint here, carried inside the
+        # variables pytree so every jitted chunk fn sees them.
+        if fused_head:
+            from usot_tpu.models.head import fold_inference_head
+            pack = jax.tree.map(lambda a: np.asarray(a, model.dtype),
+                                fold_inference_head(variables))
+            variables = {**variables, "fused_head": pack}
         # Commit variables to the device ONCE. Checkpoint loaders hand over
         # host numpy trees; passing those to the jitted chunk fn re-uploads
         # ~100 MB of parameters on EVERY dispatch (through this runtime's
@@ -338,6 +347,12 @@ class ScanEngine:
         p = self.p
         c = self._consts
         model = self.model
+        # folded inference-head weights ride inside the variables dict
+        # (an extra pytree key, NOT a flax collection) so every jitted
+        # chunk fn picks them up without a signature change
+        fused = variables.get("fused_head")
+        variables = {k: v for k, v in variables.items()
+                     if k != "fused_head"}
         frame_h = frame_u8.shape[0]
         frame_w = frame_u8.shape[1] // 3
 
@@ -367,9 +382,14 @@ class ScanEngine:
             jnp.concatenate([init, ring[picks]], axis=0).astype(model.dtype)
             for init, ring in zip(carry.init_enc, carry.mem_enc))
         zf_enc = jax.tree.map(lambda t: t.astype(model.dtype), carry.zf_enc)
-        cls, bbox, cls_mem = model.apply(
-            variables, xf, zf_enc, queue_enc,
-            method=USOTNet.track_memory_encoded)
+        if fused is not None:
+            cls, bbox, cls_mem = model.apply(
+                variables, xf, zf_enc, queue_enc, fused,
+                method=USOTNet.track_memory_encoded_fused)
+        else:
+            cls, bbox, cls_mem = model.apply(
+                variables, xf, zf_enc, queue_enc,
+                method=USOTNet.track_memory_encoded)
         new_pos, new_sz, best_score, pool_bbox = _postprocess_traced(
             p, c, pos, sz, scale_z, cls, bbox, cls_mem)
         feat = model.apply(variables, xf, pool_bbox[None],
@@ -555,7 +575,8 @@ class BatchScanEngine(ScanEngine):
                  canvas_h: int, canvas_w: int, batch: int,
                  max_frames: int = 2048, chunk: int = 32,
                  impl: str = "vmap", unroll: int = 1,
-                 crop_impl: str = "auto", mesh=None):
+                 crop_impl: str = "auto", mesh=None,
+                 fused_head: bool = False):
         """impl: 'vmap' maps the single-video step over videos; 'native'
         feeds the net real (B, ...) batches — equal speed with the fused
         Pallas correlation (PERF_NOTES.md).
@@ -571,7 +592,7 @@ class BatchScanEngine(ScanEngine):
         self.mesh = mesh
         super().__init__(model, variables, p, im_h=canvas_h, im_w=canvas_w,
                          max_frames=max_frames, chunk=chunk, unroll=unroll,
-                         crop_impl=crop_impl)
+                         crop_impl=crop_impl, fused_head=fused_head)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             assert batch % mesh.shape["data"] == 0, \
@@ -582,7 +603,9 @@ class BatchScanEngine(ScanEngine):
             self._shard_rep = rep
             self._shard_b0 = b0
             self._shard_b1 = b1
-            self.variables = jax.device_put(variables, rep)
+            # self.variables (set by super().__init__) already carries the
+            # folded-head pack; re-place the whole tree replicated
+            self.variables = jax.device_put(self.variables, rep)
             carry_sh = EngineState(*([b0] * len(EngineState._fields)))
             self._jit_shardings = dict(
                 in_shardings=(rep, carry_sh, b1, b1, b0, b0, b0),
@@ -613,6 +636,9 @@ class BatchScanEngine(ScanEngine):
         p = self.p
         c = self._consts
         model = self.model
+        fused = variables.get("fused_head")
+        variables = {k: v for k, v in variables.items()
+                     if k != "fused_head"}
         B = frames.shape[0]
         frame_h = frames.shape[1]
         frame_w = frames.shape[2] // 3
@@ -651,9 +677,14 @@ class BatchScanEngine(ScanEngine):
                              .astype(model.dtype))           # (B,Nq,h,w,C)
         zf_enc = jax.tree.map(lambda t: t[:, 0].astype(model.dtype),
                               carry.zf_enc)
-        cls, bbox, cls_mem = model.apply(
-            variables, xf, zf_enc, tuple(queue_enc),
-            method=USOTNet.track_memory_encoded_batched)
+        if fused is not None:
+            cls, bbox, cls_mem = model.apply(
+                variables, xf, zf_enc, tuple(queue_enc), fused,
+                method=USOTNet.track_memory_encoded_fused)
+        else:
+            cls, bbox, cls_mem = model.apply(
+                variables, xf, zf_enc, tuple(queue_enc),
+                method=USOTNet.track_memory_encoded_batched)
         cls = cls.astype(jnp.float32)
         bbox = bbox.astype(jnp.float32)
         cls_mem = cls_mem.astype(jnp.float32)
