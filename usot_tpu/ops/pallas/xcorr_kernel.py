@@ -22,14 +22,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _xcorr_kernel(hk: int, wk: int, ho: int, wo: int, x_ref, k_ref, o_ref):
-    x = x_ref[0]            # (Hx, Wx_pad, C_pad)
-    k = k_ref[0]            # (Hk, Wk_pad, C_pad)
-    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)
-    for u in range(hk):
-        for v in range(wk):
-            acc += x[u:u + ho, v:v + wo, :].astype(jnp.float32) \
-                * k[u, v, :][None, None, :].astype(jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    # Row-blocked accumulation (see _groupdw_multi_kernel): the per-row
+    # accumulator stays in vector registers across all hk*wk taps.
+    k = k_ref[0].astype(jnp.float32)   # (Hk, Wk_pad, C_pad)
+    c = o_ref.shape[-1]
+
+    def body(i, carry):
+        acc = jnp.zeros((wo, c), jnp.float32)
+        for u in range(hk):
+            row = x_ref[0, i + u].astype(jnp.float32)  # (Wx_pad, C_pad)
+            for v in range(wk):
+                acc += row[v:v + wo] * k[u, v][None, :]
+        o_ref[0, i] = acc.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, ho, body, 0)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -38,14 +45,21 @@ def _round_up(n: int, m: int) -> int:
 
 def _xcorr_multi_kernel(hk: int, wk: int, ho: int, wo: int,
                         x_ref, k_ref, o_ref):
-    x = x_ref[0]            # (Hx, Wx_pad, C_pad) — shared across the M axis
-    k = k_ref[0, 0]         # (Hk, Wk_pad, C_pad)
-    acc = jnp.zeros(o_ref.shape[2:], jnp.float32)
-    for u in range(hk):
-        for v in range(wk):
-            acc += x[u:u + ho, v:v + wo, :].astype(jnp.float32) \
-                * k[u, v, :][None, None, :].astype(jnp.float32)
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    # Row-blocked accumulation (see _groupdw_multi_kernel); the x block
+    # is shared across the M grid axis.
+    k = k_ref[0, 0].astype(jnp.float32)  # (Hk, Wk_pad, C_pad)
+    c = o_ref.shape[-1]
+
+    def body(i, carry):
+        acc = jnp.zeros((wo, c), jnp.float32)
+        for u in range(hk):
+            row = x_ref[0, i + u].astype(jnp.float32)
+            for v in range(wk):
+                acc += row[v:v + wo] * k[u, v][None, :]
+        o_ref[0, 0, i] = acc.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, ho, body, 0)
 
 
 def xcorr_depthwise_multi_pallas(x, kernel, interpret: bool = False):
@@ -94,17 +108,28 @@ def xcorr_depthwise_multi_pallas(x, kernel, interpret: bool = False):
 
 def _groupdw_multi_kernel(geom, x0_ref, x1_ref, x2_ref, k0_ref, k1_ref,
                           k2_ref, o_ref):
-    acc = jnp.zeros(o_ref.shape[2:], jnp.float32)
-    for x_ref, k_ref, (hk, wk) in zip((x0_ref, x1_ref, x2_ref),
-                                      (k0_ref, k1_ref, k2_ref), geom):
-        x = x_ref[0]        # (Hx_s, Wx_pad_s, C_pad) — shared across M
-        k = k_ref[0, 0]     # (Hk_s, Wk_pad_s, C_pad)
-        ho, wo = o_ref.shape[2], o_ref.shape[3]
-        for u in range(hk):
-            for v in range(wk):
-                acc += x[u:u + ho, v:v + wo, :].astype(jnp.float32) \
-                    * k[u, v, :][None, None, :].astype(jnp.float32)
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
+    """Row-blocked accumulation: one output ROW's accumulator (Wo_pad, C)
+    is small enough to live in vector registers across all 55 taps, so
+    each tap is a single FMA — the whole-block `acc += ...` formulation
+    streamed the (Ho, Wo, C) f32 accumulator through VMEM on every tap
+    (load+store per FMA) and measured 1.85x slower (5.4 -> 2.9 ms at
+    B=32, M=7; PERF_NOTES.md)."""
+    ks = [r[0, 0].astype(jnp.float32) for r in (k0_ref, k1_ref, k2_ref)]
+    xs = (x0_ref, x1_ref, x2_ref)
+    ho, wo = o_ref.shape[2], o_ref.shape[3]
+    c = o_ref.shape[-1]
+
+    def body(i, carry):
+        acc = jnp.zeros((wo, c), jnp.float32)
+        for x_ref, k, (hk, wk) in zip(xs, ks, geom):
+            for u in range(hk):
+                row = x_ref[0, i + u].astype(jnp.float32)  # (Wx_pad, C)
+                for v in range(wk):
+                    acc += row[v:v + wo] * k[u, v][None, :]
+        o_ref[0, 0, i] = acc.astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, ho, body, 0)
 
 
 def xcorr_groupdw_pallas(xs, ks, interpret: bool = False):
