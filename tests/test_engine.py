@@ -230,6 +230,65 @@ class TestMemoryRingLongVideo(TestMemoryRing):
                     f"!= reference {ref}")
 
 
+class TestBatchedMemoryWrite:
+    """_memory_write_multi_batched (shared-slot block DUS + scatter
+    fallback) must agree EXACTLY with the vmapped per-lane write in
+    every regime: lockstep non-full (shared slot), post-eviction
+    (diverged slots), mixed valid masks, and frozen-lane length skew."""
+
+    SCALES = ((5, 5), (3, 5), (5, 3))
+
+    def _mk(self, rng, B, S, C=8):
+        import jax.numpy as jnp
+        rings = tuple(jnp.asarray(
+            rng.normal(size=(B, S + 1, h, w, C)), jnp.float32)
+            for h, w in self.SCALES)
+        feats = tuple(jnp.asarray(
+            rng.normal(size=(B, 1, h, w, C)), jnp.float32)
+            for h, w in self.SCALES)
+        return rings, feats
+
+    @pytest.mark.parametrize("regime", ["shared", "evicting", "skewed"])
+    def test_matches_vmapped(self, regime):
+        import jax.numpy as jnp
+        from usot_tpu.tracker.engine import (_memory_write_multi,
+                                             _memory_write_multi_batched)
+        rng = np.random.default_rng(11)
+        B, S, T = 4, 6, 16
+        rings, feats0 = self._mk(rng, B, S)
+        mem_conf = jnp.zeros((B, S))
+        mem_idx = jnp.full((B, S), -1, jnp.int32)
+        if regime == "skewed":
+            # lanes at different logical lengths -> diverged write slots
+            mem_len = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        else:
+            mem_len = jnp.zeros((B,), jnp.int32)
+
+        vmapped = jax.jit(jax.vmap(_memory_write_multi))
+        batched = jax.jit(_memory_write_multi_batched)
+
+        a = (rings, mem_conf, mem_idx, mem_len)
+        b = (rings, mem_conf, mem_idx, mem_len)
+        for t in range(T):  # T > S: exercises the full/eviction regime
+            feats = tuple(f + t for f in feats0)
+            score = jnp.asarray(rng.random(B), jnp.float32)
+            if regime == "shared":
+                valid = jnp.ones((B,), bool)
+            else:
+                valid = jnp.asarray(rng.integers(0, 2, B), bool)
+            a = vmapped(a[0], a[1], a[2], a[3], feats, score, valid)
+            b = batched(b[0], b[1], b[2], b[3], feats, score, valid)
+            for ra, rb in zip(a[0], b[0]):
+                # scratch slot content may differ (garbage by design);
+                # every real slot must match exactly
+                np.testing.assert_array_equal(
+                    np.asarray(ra[:, :S]), np.asarray(rb[:, :S]),
+                    err_msg=f"{regime} step {t}")
+            for x, y in zip(a[1:], b[1:]):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                              err_msg=f"{regime} step {t}")
+
+
 class TestPostprocessParity:
     """Deterministic scan-postprocess regression guard (VERDICT r2 #7):
     the engine's in-graph postprocess must match the host parity path

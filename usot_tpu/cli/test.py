@@ -420,6 +420,11 @@ def main(argv=None):
     else:
         print(f"warning: checkpoint {args.resume} not found; random init")
         variables = init_variables(model, jax.random.PRNGKey(0))
+        # fresh BN stats are degenerate (var=1 around uncentered
+        # activations -> exp() overflow in the bbox decode -> NaN
+        # trajectories); calibrate so smoke runs stay finite
+        from usot_tpu.models.calibrate import calibrate_batch_stats
+        variables = calibrate_batch_stats(model, variables, n_iter=10)
     runner = ModelRunner(model, variables)
 
     dataset = load_dataset(args.dataset, args.dataset_root)

@@ -118,6 +118,56 @@ def _memory_write_multi(rings, mem_conf, mem_idx, mem_len, feats, score,
     return rings, mem_conf, mem_idx, mem_len + 1
 
 
+def _memory_write_multi_batched(rings, mem_conf, mem_idx, mem_len, feats,
+                                score, valid):
+    """Batched-ring append across B lockstep videos (the batched engine's
+    replacement for `jax.vmap(_memory_write_multi)`).
+
+    rings[i]: (B, S+1, h, w, C) incl. the scratch slot; mem_conf (B, S);
+    mem_idx (B, S); mem_len (B,); feats[i]: (B, 1, h, w, C).
+
+    A vmapped dynamic_update_slice lowers to a scatter with per-lane
+    dynamic indices — the slowest way to touch HBM on TPU. But in the
+    lockstep non-full regime every lane writes the SAME slot
+    (write_idx == mem_len, identical across B), so the write is a single
+    contiguous (B, 1, h, w, C) block DUS; invalid (finished) lanes keep
+    their old slot content via a cheap one-slot blend. Lanes diverge only
+    once a ring fills (per-lane eviction) or lane lengths differ
+    (mem_len frozen by _freeze_invalid) — then a lax.cond falls back to
+    the exact scatter path. Formulation A/B: tools/bench_memops.py;
+    exactness vs the vmapped path: tests/test_engine.py
+    (TestBatchedMemoryWrite)."""
+    B, S = mem_conf.shape
+    write_idx = jax.vmap(_write_slot, in_axes=(0, 0, 0, None))(
+        mem_conf, mem_idx, mem_len, S)                      # (B,)
+    shared = jnp.all(write_idx == write_idx[0])
+
+    def dus(rings):
+        s = write_idx[0]
+        out = []
+        for r, f in zip(rings, feats):
+            zeros = (0,) * (r.ndim - 2)
+            old = jax.lax.dynamic_slice(
+                r, (0, s) + zeros, (B, 1) + r.shape[2:])
+            mask = valid.reshape((B,) + (1,) * (r.ndim - 1))
+            blend = jnp.where(mask, f.astype(r.dtype), old)
+            out.append(jax.lax.dynamic_update_slice(
+                r, blend, (0, s) + zeros))
+        return tuple(out)
+
+    def scat(rings):
+        ring_idx = jnp.where(valid, write_idx, S)           # scratch slot
+        lanes = jnp.arange(B)
+        return tuple(r.at[lanes, ring_idx].set(f[:, 0].astype(r.dtype))
+                     for r, f in zip(rings, feats))
+
+    rings = jax.lax.cond(shared, dus, scat, rings)
+    lanes = jnp.arange(B)
+    mem_conf = mem_conf.at[lanes, write_idx].set(score)
+    mem_idx = mem_idx.at[lanes, write_idx].set(mem_len)
+    return rings, mem_conf, mem_idx, mem_len + 1
+
+
 def _queue_picks(mem_conf, mem_idx, mem_len, n_queue: int):
     """In-graph replica of the reference memory-queue sampling
     (ref: usot_tracker.py:222-256, incl. the documented index deviation).
@@ -755,7 +805,7 @@ class BatchScanEngine(ScanEngine):
                                method=USOTNet.encode_memory_kernels)
         feat_enc = tuple(f[:, None] for f in feat_enc)  # (B,1,h,w,C)
 
-        mem_enc, mem_conf, mem_idx, mem_len = jax.vmap(_memory_write_multi)(
+        mem_enc, mem_conf, mem_idx, mem_len = _memory_write_multi_batched(
             carry.mem_enc, carry.mem_conf, carry.mem_idx, carry.mem_len,
             feat_enc, best_score, is_valid)
 
