@@ -271,8 +271,29 @@ def main():
     run("  conf_fusion (B*M maps)", f_conf_fusion)
     run("  memory tower+pred", f_mem_tower)
     run("  offline towers+preds", f_offline_towers)
+    # production write path: 3 encoded rings, batched formulations
+    from usot_tpu.tracker.engine import (_memory_write_multi,
+                                         _memory_write_multi_batched)
+    feat_enc_w = tuple(f[:, None] for f in fe)          # (B,1,h,w,C)
+
+    def f_memwrite_scatter(c):
+        sc = score_b + c
+        rs, mc, mi, ml = jax.vmap(_memory_write_multi)(
+            mem_enc, mem_conf, mem_idx, mem_len, feat_enc_w, sc, valid_b)
+        return (jnp.sum(mc)
+                + jnp.sum(rs[0][:, 0, 0, 0, :8]).astype(jnp.float32))
+
+    def f_memwrite_shared(c):
+        sc = score_b + c
+        rs, mc, mi, ml = _memory_write_multi_batched(
+            mem_enc, mem_conf, mem_idx, mem_len, feat_enc_w, sc, valid_b)
+        return (jnp.sum(mc)
+                + jnp.sum(rs[0][:, 0, 0, 0, :8]).astype(jnp.float32))
+
     run("queue assembly", f_queue)
     run("memory write", f_memwrite)
+    run("memory write ENC (scatter)", f_memwrite_scatter)
+    run("memory write ENC (shared)", f_memwrite_shared)
     run("prpool feature", f_pool)
     run("xcorr shift (1 pair 7x7)", f_xcorr)
     run("FULL STEP (native batched)", f_full_native, state)
