@@ -33,7 +33,7 @@ _SLOW_MODULES = {
 }
 # Fast exceptions inside slow modules (pure ring/bookkeeping logic).
 _FAST_CLASSES = {"TestMemoryRing", "TestMemoryRingLongVideo",
-                 "TestPostprocessParity"}
+                 "TestPostprocessParity", "TestBatchedMemoryWrite"}
 
 
 def pytest_collection_modifyitems(config, items):

@@ -3,6 +3,7 @@ quality-gated sampler, augmentation and label generation; plus raw result
 file format checks for the test CLI."""
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -192,6 +193,33 @@ class TestShards:
         assert len(batches) == len(loader) == 3  # 7 // 2, drop_last
         for b in batches:
             assert b["search"].shape[0] == 2
+
+    def test_abandoned_iterator_stops_reader(self, synth_dataset,
+                                             tmp_path):
+        """Abandoning iteration mid-stream (e.g. `next(iter(loader))` in
+        a bench) must terminate the reader thread instead of leaving it
+        blocked in q.put pinning decoded shards."""
+        import threading
+
+        from usot_tpu.data.shards import ShardLoader, write_shards
+
+        ds = USOTDataset(synth_dataset, seed=4)
+        ds.cycle_memory = False
+        # many tiny shards so the reader would outrun a 1-batch consumer
+        write_shards(ds, str(tmp_path), n_samples=8, shard_size=1)
+        loader = ShardLoader(str(tmp_path), batch_size=1, prefetch=1)
+        before = {t.ident for t in threading.enumerate()}
+        it = iter(loader)
+        next(it)
+        it.close()  # triggers __iter__'s finally -> stop.set()
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            leaked = [t for t in threading.enumerate()
+                      if t.ident not in before and t.is_alive()]
+            if not leaked:
+                break
+            time.sleep(0.05)
+        assert not leaked, f"reader thread(s) leaked: {leaked}"
 
     def test_step_images_f32_layouts_agree(self):
         import jax.numpy as jnp

@@ -169,7 +169,8 @@ def main():
 
     origin_b = jnp.zeros((B, 2), jnp.float32)
 
-    evars = engine.variables  # includes the folded-head pack (default)
+    evars = engine.variables  # unfused head (engine built without
+    # fused_head); the ENC+FOLDED stage below packs its own fold
 
     def f_full_native(c, st0):
         st = st0._replace(pos=st0.pos + c)

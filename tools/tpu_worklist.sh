@@ -2,6 +2,7 @@
 # Runs the TPU measurement battery serially once the chip responds.
 cd /root/repo
 R=/tmp/tpu_results
+mkdir -p "$R"
 # wait for tunnel (up to ~5h)
 for i in $(seq 1 100); do
   if timeout 90 python -c "import jax; jax.devices()" > /dev/null 2>&1; then

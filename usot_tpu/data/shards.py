@@ -150,24 +150,42 @@ def device_prefetch(iterable, put=None, depth: int = 2,
     import numpy as np
 
     out: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that exits when the consumer abandons the
+        # generator — a plain put would pin a device batch forever
+        while not stop.is_set():
+            try:
+                out.put(item, timeout=0.1)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def worker():
         for host_batch in iterable:
+            if stop.is_set():
+                return
             dev = put(host_batch)
             # force every leaf's transfer to finish in THIS thread
             total = sum(jnp.sum(jnp.ravel(v)[:1].astype(jnp.float32))
                         for v in jax.tree.leaves(dev))
             np.asarray(total)
-            out.put(dev)
-        out.put(None)
+            if not _put(dev):
+                return
+        _put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        batch = out.get()
-        if batch is None:
-            break
-        yield batch
+    try:
+        while True:
+            batch = out.get()
+            if batch is None:
+                break
+            yield batch
+    finally:
+        stop.set()
 
 
 class ShardLoader:
@@ -197,13 +215,28 @@ class ShardLoader:
         return [os.path.join(self.shard_dir, f"shard_{i:05d}.npz")
                 for i in range(self.meta["n_shards"])]
 
+    @staticmethod
+    def _put_or_stop(q: queue.Queue, item, stop: threading.Event) -> bool:
+        """Bounded put that wakes up when the consumer abandons the
+        iterator (stop set in __iter__'s finally). A plain q.put would
+        block forever holding a decoded shard (~hundreds of MB)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _read_shards(self, q: queue.Queue, stop: threading.Event):
         for path in self._shard_paths():
             if stop.is_set():
                 break
             with np.load(path) as z:
-                q.put({k: z[k] for k in z.files})
-        q.put(None)
+                shard = {k: z[k] for k in z.files}
+            if not self._put_or_stop(q, shard, stop):
+                return
+        self._put_or_stop(q, None, stop)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

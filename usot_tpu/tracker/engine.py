@@ -735,70 +735,16 @@ class BatchScanEngine(ScanEngine):
             cls, bbox, cls_mem = model.apply(
                 variables, xf, zf_enc, tuple(queue_enc),
                 method=USOTNet.track_memory_encoded_batched)
-        cls = cls.astype(jnp.float32)
-        bbox = bbox.astype(jnp.float32)
-        cls_mem = cls_mem.astype(jnp.float32)
-
-        cls_score = jax.nn.sigmoid(cls[..., 0])          # (B, S, S)
-        cls_memory = jax.nn.sigmoid(cls_mem[..., 0])
-        cls_score = p.ratio * cls_score + (1 - p.ratio) * cls_memory
-
-        gx = c["gx"][None]
-        gy = c["gy"][None]
-        pred_x1 = gx - bbox[..., 0]
-        pred_y1 = gy - bbox[..., 1]
-        pred_x2 = gx + bbox[..., 2]
-        pred_y2 = gy + bbox[..., 3]
-
-        w = (sz[:, 0] * scale_z)[:, None, None]
-        h = (sz[:, 1] * scale_z)[:, None, None]
-
-        def _sz_f(a, b):
-            pad = (a + b) * 0.5
-            return jnp.sqrt((a + pad) * (b + pad))
-
-        def _change(r):
-            return jnp.maximum(r, 1.0 / r)
-
-        s_c = _change(_sz_f(pred_x2 - pred_x1, pred_y2 - pred_y1)
-                      / _sz_f(w, h))
-        r_c = _change((w / h) / ((pred_x2 - pred_x1) / (pred_y2 - pred_y1)))
-        penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
-        pscore = penalty * cls_score
-        pscore = pscore * (1 - p.window_influence) \
-            + c["window"][None] * p.window_influence
-        pscore = jnp.where(jnp.isnan(pscore), -jnp.inf, pscore)
-
-        S = pscore.shape[1]
-        flat = jnp.argmax(pscore.reshape(B, -1), axis=1)  # (B,)
-
-        def pick(m):
-            return jnp.take_along_axis(m.reshape(B, -1), flat[:, None],
-                                       axis=1)[:, 0]
-
-        bx1 = pick(pred_x1)
-        by1 = pick(pred_y1)
-        bx2 = pick(pred_x2)
-        by2 = pick(pred_y2)
-        pen_best = pick(penalty)
-        best_score = pick(cls_score)
-
-        diff_xs = ((bx1 + bx2) / 2 - p.instance_size // 2) / scale_z
-        diff_ys = ((by1 + by2) / 2 - p.instance_size // 2) / scale_z
-        pred_w = (bx2 - bx1) / scale_z
-        pred_h = (by2 - by1) / scale_z
-
-        lr = pen_best * best_score * p.lr
-        res_w = pred_w * lr + (1 - lr) * sz[:, 0]
-        res_h = pred_h * lr + (1 - lr) * sz[:, 1]
-        new_pos = jnp.stack([pos[:, 0] + diff_xs, pos[:, 1] + diff_ys], -1)
-        new_sz = jnp.stack([sz[:, 0] * (1 - lr) + lr * res_w,
-                            sz[:, 1] * (1 - lr) + lr * res_h], -1)
-
-        gap = 1.0 / c["sf_slope"]
-        crop_bbox = jnp.stack([bx1, by1, bx2, by2], -1)  # (B, 4)
-        crop_bbox = jnp.clip(crop_bbox, c["sf_min"] - gap, c["sf_max"] + gap)
-        pool_bbox = (crop_bbox - c["sf_min"]) * c["sf_slope"]
+        # Shared postprocess: the SAME function as the single-video path
+        # (_postprocess_traced), vmapped over the batch — penalties,
+        # window, argmax, EMA and pool bbox cannot diverge between the
+        # two engines. All ops are elementwise/argmax/gather, so the
+        # batched lowering is identical math.
+        new_pos, new_sz, best_score, pool_bbox = jax.vmap(
+            lambda ps, szv, sclz, cl, bb, cm: _postprocess_traced(
+                p, c, ps, szv, sclz, cl, bb, cm))(
+            pos, sz, scale_z, cls[:, None], bbox[:, None],
+            cls_mem[:, None])
         feat = model.apply(variables, xf, pool_bbox,
                            method=USOTNet.pool_memory_feature)  # (B,7,7,C)
         feat_enc = model.apply(variables, feat,
