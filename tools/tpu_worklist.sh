@@ -29,4 +29,8 @@ echo "step exit=$?" >> $R/status
 echo "4: bench.py" >> $R/status
 timeout 3000 python bench.py > $R/bench.json 2> $R/bench.log
 echo "bench exit=$?" >> $R/status
+
+echo "5: accuracy parity (engine vs parity tracker, trained ckpt)" >> $R/status
+timeout 3000 python -u tools/accuracy_parity_run.py > $R/parity.log 2>&1
+echo "parity exit=$?" >> $R/status
 echo "DONE $(date)" >> $R/status
