@@ -146,6 +146,53 @@ class TestTrainStep:
         post = jax.tree.leaves(new_state.params["features"]["layer3_0"])
         assert any(not np.allclose(a, b) for a, b in zip(pre, post))
 
+    def test_remat_step_matches_plain(self, model_and_vars, rng):
+        """jax.checkpoint changes WHEN activations are computed, never
+        what: the rematerialized step must match the plain one."""
+        model, variables = model_and_vars
+        tx, _ = build_optimizer(variables["params"], 0.9, 1e-4, 0.1,
+                                unfix=True)
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           tx.init(variables["params"]))
+        batch = tiny_batch(rng, 2, mem=2)
+        kw = dict(cycle_memory=True, stage_bn_train=True, lambda_1=0.3)
+        plain = make_train_step(model, tx, **kw)
+        rem = make_train_step(model, tx, remat=True, **kw)
+        s1, m1 = plain(state, batch, jnp.float32(0.005), jnp.float32(0.5))
+        s2, m2 = rem(state, batch, jnp.float32(0.005), jnp.float32(0.5))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
+    def test_accum_duplicated_microbatch_matches_plain(self, model_and_vars,
+                                                       rng):
+        """Grad-accumulation spec: train-mode BN normalizes by the
+        CURRENT microbatch (incoming running stats don't enter the
+        forward), so accum(k=2) over two IDENTICAL microbatches must
+        produce exactly the grads — hence the params — of a plain step
+        on one microbatch."""
+        model, variables = model_and_vars
+        tx, _ = build_optimizer(variables["params"], 0.9, 1e-4, 0.1,
+                                unfix=True)
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           tx.init(variables["params"]))
+        half = tiny_batch(rng, 2)
+        dup = jax.tree.map(lambda x: jnp.concatenate([x, x]), half)
+        kw = dict(cycle_memory=False, stage_bn_train=True, lambda_1=0.2)
+        plain = make_train_step(model, tx, **kw)
+        acc = make_train_step(model, tx, accum_steps=2, **kw)
+        s1, m1 = plain(state, half, jnp.float32(0.005), jnp.float32(0.5))
+        s2, m2 = acc(state, dup, jnp.float32(0.005), jnp.float32(0.5))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=1e-7)
+
     def test_data_parallel_8_devices(self, model_and_vars, rng):
         model, variables = model_and_vars
         mesh = make_mesh()
@@ -161,6 +208,30 @@ class TestTrainStep:
         new_state, metrics = step(state, batch, jnp.float32(0.005),
                                   jnp.float32(0.5))
         assert np.isfinite(float(metrics["loss"]))
+
+    def test_accum_remat_compose_with_mesh(self, model_and_vars, rng):
+        """remat + grad accumulation must compile and run under the data
+        mesh (the accum scan splits each chip's local shard; XLA keeps
+        the one gradient all-reduce)."""
+        model, variables = model_and_vars
+        mesh = make_mesh()
+        tx, _ = build_optimizer(variables["params"], 0.9, 1e-4, 0.1,
+                                unfix=False)
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           tx.init(variables["params"]))
+        step = make_train_step(model, tx, cycle_memory=False,
+                               stage_bn_train=False, lambda_1=0.2,
+                               remat=True, accum_steps=2)
+        state = replicate_tree(mesh, state)
+        batch = shard_batch(mesh, tiny_batch(rng, 16))
+        new_state, metrics = step(state, batch, jnp.float32(0.005),
+                                  jnp.float32(0.5))
+        assert np.isfinite(float(metrics["loss"]))
+        pre = np.concatenate([np.ravel(x) for x in
+                              jax.tree.leaves(state.params["connect"])])
+        post = np.concatenate([np.ravel(x) for x in
+                               jax.tree.leaves(new_state.params["connect"])])
+        assert not np.allclose(pre, post)
 
     def test_checkpoint_roundtrip(self, model_and_vars, tmp_path):
         model, variables = model_and_vars

@@ -44,6 +44,14 @@ def parse_args(argv=None):
                         "bfloat16 is ~1.66x faster on TPU with loss "
                         "trajectories within ~1.6%% of f32 "
                         "(tools/bf16_train_parity.py; PERF_NOTES.md)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="gradient-accumulation microbatches per "
+                        "step: k-fold effective batch at 1/k activation "
+                        "HBM (per-chip batch must divide by k)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward in backprop "
+                        "(jax.checkpoint): ~half peak activation HBM "
+                        "for one extra forward pass")
     return parser.parse_args(argv)
 
 
@@ -116,7 +124,8 @@ def main(argv=None):
         step_fn = make_train_step(
             model, tx, cycle_memory=cycle_memory,
             stage_bn_train=epoch >= tc.UNFIX_EPOCH, lambda_1=lambda_1,
-            lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE)
+            lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE,
+            remat=args.remat, accum_steps=args.accum)
 
         batch_size = (tc.BATCH_STAGE_2 if cycle_memory else tc.BATCH) * n_dev
         loader = None

@@ -58,12 +58,31 @@ def _images_f32(x):
 def make_train_step(model: USOTNet, tx, cycle_memory: bool,
                     stage_bn_train: bool, lambda_1: float,
                     lambda_total: float = 0.9,
-                    lambda_1_naive: float = 0.2):
+                    lambda_1_naive: float = 0.2,
+                    remat: bool = False,
+                    accum_steps: int = 1):
     """Build the jitted step for one training phase.
 
     batch dict keys: template, search, label, reg_target, reg_weight,
     template_bbox [, search_memory, search_bbox]. lr and cls_ratio are
     traced scalars so LR changes don't retrace.
+
+    Scale levers (both identical math to the plain step):
+    - remat: wrap the loss in jax.checkpoint — backward recomputes the
+      forward instead of keeping its activations live, cutting peak HBM
+      roughly in half for one extra forward pass. Use when per-chip
+      batch is HBM-bound (the cycle-memory phase holds 5 images/sample).
+    - accum_steps k>1: split the batch into k microbatches with a
+      lax.scan, average the grads, apply ONE optimizer update — k-fold
+      larger effective batch at 1/k the activation memory. BN batch
+      stats thread through the scan (each microbatch sees the previous
+      one's running stats, same as k sequential plain steps). With BN in
+      eval mode (stage_bn_train=False) the grads equal the full-batch
+      grads exactly; in train mode BN normalizes per microbatch (the
+      standard grad-accum semantics). Under a data mesh the microbatch
+      split happens on the already-sharded leading axis, so each chip
+      scans over its local shard — no extra collectives beyond the
+      gradient all-reduce.
     """
 
     def loss_fn(params, batch_stats, batch, cls_ratio):
@@ -95,11 +114,47 @@ def make_train_step(model: USOTNet, tx, cycle_memory: bool,
                        "reg_loss": l_reg, "loss": loss}
         return loss, (mutated["batch_stats"], metrics)
 
+    if remat:
+        # Coarse-grain rematerialization: save only the loss inputs,
+        # recompute the whole forward during backprop.
+        loss_fn = jax.checkpoint(loss_fn)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _grads(params, batch_stats, batch, cls_ratio):
+        if accum_steps == 1:
+            return grad_fn(params, batch_stats, batch, cls_ratio)
+
+        def split(x):
+            b = x.shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps {accum_steps}")
+            return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+        micro = jax.tree.map(split, batch)
+        gzero = jax.tree.map(jnp.zeros_like, params)
+
+        def body(carry, mb):
+            stats, gsum, lsum, msum = carry
+            (loss, (stats, metrics)), grads = grad_fn(params, stats, mb,
+                                                      cls_ratio)
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            msum = jax.tree.map(jnp.add, msum, metrics)
+            return (stats, gsum, lsum + loss, msum), None
+
+        mzero = {"cls_loss_ori": jnp.zeros(()),
+                 "cls_loss_memory": jnp.zeros(()),
+                 "reg_loss": jnp.zeros(()), "loss": jnp.zeros(())}
+        (new_stats, gsum, lsum, msum), _ = jax.lax.scan(
+            body, (batch_stats, gzero, jnp.zeros(()), mzero), micro)
+        inv = 1.0 / accum_steps
+        grads = jax.tree.map(lambda g: g * inv, gsum)
+        metrics = jax.tree.map(lambda m: m * inv, msum)
+        return (lsum * inv, (new_stats, metrics)), grads
+
     @jax.jit
     def step(state: TrainState, batch, lr, cls_ratio):
-        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
-                                   cls_ratio)
+        (loss, (new_stats, metrics)), grads = _grads(
+            state.params, state.batch_stats, batch, cls_ratio)
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         # is_valid_number gate: skip the update on NaN/Inf/explosion
