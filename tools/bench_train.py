@@ -30,6 +30,11 @@ def main():
                     help="ALSO measure end-to-end throughput streaming "
                     "this shard dir (built on demand with synthetic "
                     "data if missing) through device_put + step")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches (HBM-for-"
+                    "throughput trade; see train/step.py)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized backward (jax.checkpoint)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +79,8 @@ def main():
     for name, cyc, b in (("naive", False, args.batch),
                          ("cycle-memory", True, args.mem_batch)):
         step = make_train_step(model, tx, cycle_memory=cyc,
-                               stage_bn_train=True, lambda_1=0.3)
+                               stage_bn_train=True, lambda_1=0.3,
+                               remat=args.remat, accum_steps=args.accum)
         batch = make_batch(b, cyc)
         st = state
         t = time.perf_counter()
