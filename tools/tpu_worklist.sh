@@ -33,4 +33,14 @@ echo "bench exit=$?" >> $R/status
 echo "5: accuracy parity (engine vs parity tracker, trained ckpt)" >> $R/status
 timeout 3000 python -u tools/accuracy_parity_run.py > $R/parity.log 2>&1
 echo "parity exit=$?" >> $R/status
+
+# B re-sweep on the encoded-ring engine (the 20.4/26.4/43.5 ms sweep at
+# B=32/40/64 predates the encoded-kernel carry; the ring footprint
+# changed, so the lockstep sweet spot may have moved)
+echo "6: bench B=48" >> $R/status
+BENCH_BATCH=48 timeout 3000 python bench.py > $R/bench_b48.json 2> $R/bench_b48.log
+echo "bench48 exit=$?" >> $R/status
+echo "7: bench B=64" >> $R/status
+BENCH_BATCH=64 timeout 3000 python bench.py > $R/bench_b64.json 2> $R/bench_b64.log
+echo "bench64 exit=$?" >> $R/status
 echo "DONE $(date)" >> $R/status
