@@ -43,4 +43,11 @@ echo "bench48 exit=$?" >> $R/status
 echo "7: bench B=64" >> $R/status
 BENCH_BATCH=64 timeout 3000 python bench.py > $R/bench_b64.json 2> $R/bench_b64.log
 echo "bench64 exit=$?" >> $R/status
+
+# ROI streaming through the tunnel: a 256px window is ~4.7x less link
+# traffic than full 480x640 frames — can the tunnel-included figure
+# beat the 58-fps reference baseline despite the ~25 MB/s link?
+echo "8: bench ROI-256 streaming" >> $R/status
+BENCH_ROI=256 BENCH_MODE=stream BENCH_REPEATS=1 timeout 3000 python bench.py > $R/bench_roi.json 2> $R/bench_roi.log
+echo "benchroi exit=$?" >> $R/status
 echo "DONE $(date)" >> $R/status
