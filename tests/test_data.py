@@ -221,6 +221,18 @@ class TestShards:
             time.sleep(0.05)
         assert not leaked, f"reader thread(s) leaked: {leaked}"
 
+    def test_corrupt_shard_raises_not_hangs(self, synth_dataset, tmp_path):
+        from usot_tpu.data.shards import ShardLoader, write_shards
+
+        ds = USOTDataset(synth_dataset, seed=4)
+        ds.cycle_memory = False
+        write_shards(ds, str(tmp_path), n_samples=4, shard_size=2)
+        bad = tmp_path / "shard_00001.npz"
+        bad.write_bytes(b"not an npz")
+        loader = ShardLoader(str(tmp_path), batch_size=2)
+        with pytest.raises(RuntimeError, match="shard"):
+            list(loader)
+
     def test_step_images_f32_layouts_agree(self):
         import jax.numpy as jnp
 

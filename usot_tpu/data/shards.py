@@ -229,14 +229,23 @@ class ShardLoader:
         return False
 
     def _read_shards(self, q: queue.Queue, stop: threading.Event):
-        for path in self._shard_paths():
-            if stop.is_set():
-                break
-            with np.load(path) as z:
-                shard = {k: z[k] for k in z.files}
-            if not self._put_or_stop(q, shard, stop):
-                return
-        self._put_or_stop(q, None, stop)
+        # The None sentinel must reach the consumer even if a read
+        # raises (corrupt shard) — otherwise __iter__ blocks forever.
+        err = None
+        try:
+            for path in self._shard_paths():
+                if stop.is_set():
+                    return
+                try:
+                    with np.load(path) as z:
+                        shard = {k: z[k] for k in z.files}
+                except Exception as e:  # surface in the consumer thread
+                    err = RuntimeError(f"failed reading shard {path}: {e}")
+                    return
+                if not self._put_or_stop(q, shard, stop):
+                    return
+        finally:
+            self._put_or_stop(q, err, stop)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -250,6 +259,8 @@ class ShardLoader:
                 shard = q.get()
                 if shard is None:
                     break
+                if isinstance(shard, Exception):
+                    raise shard
                 if tail is not None:
                     shard = {k: np.concatenate([tail[k], shard[k]])
                              for k in shard}
