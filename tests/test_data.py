@@ -221,6 +221,32 @@ class TestShards:
             time.sleep(0.05)
         assert not leaked, f"reader thread(s) leaked: {leaked}"
 
+    @pytest.mark.parametrize("fence", [False, True])
+    def test_device_prefetch_order_and_cleanup(self, fence):
+        """device_prefetch must yield every batch in order (both modes)
+        and terminate its worker thread when abandoned mid-stream."""
+        import threading
+
+        from usot_tpu.data.shards import device_prefetch
+
+        batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(6)]
+        got = [int(b["x"][0, 0]) for b in
+               device_prefetch(iter(batches), fence=fence)]
+        assert got == list(range(6))
+
+        before = {t.ident for t in threading.enumerate()}
+        gen = device_prefetch(iter(batches), fence=fence, depth=1)
+        next(gen)
+        gen.close()
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            leaked = [t for t in threading.enumerate()
+                      if t.ident not in before and t.is_alive()]
+            if not leaked:
+                break
+            time.sleep(0.05)
+        assert not leaked, f"prefetch worker leaked: {leaked}"
+
     def test_corrupt_shard_raises_not_hangs(self, synth_dataset, tmp_path):
         from usot_tpu.data.shards import ShardLoader, write_shards
 
