@@ -41,6 +41,22 @@ class TestBackbone:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("size", [33, 34])  # odd (needs pad) and even
+    def test_s2b_dilated_exact(self, size):
+        """The space-to-batch rewrite of layer3's dilation-2 convs must be
+        numerically equivalent with the SAME parameter tree."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, size, size, 3)).astype(np.float32)
+                        * 50.0)
+        bb = ResNetPlus2()
+        v = bb.init(jax.random.PRNGKey(4), x)
+        bb_s2b = ResNetPlus2(s2b_dilated=True)
+        ref = bb.apply(v, x)
+        got = bb_s2b.apply(v, x)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_param_count_matches_resnet50_trunk(self):
         # ResNet-50 through layer3 is 8.56M; the 3x3 (not 1x1) downsample
         # convs in layer2/layer3 add 256*512*8 + 512*1024*8 = 5.24M

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--dtype", default="bf16")
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem (exact rewrite) A/B")
+    ap.add_argument("--s2b", action="store_true",
+                    help="space-to-batch layer3 dilated convs (exact) A/B")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main():
     MAXF = args.max_frames
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    model = build_usot(mem_size=4, dtype=dtype, s2d_stem=args.s2d)
+    model = build_usot(mem_size=4, dtype=dtype, s2d_stem=args.s2d,
+                       s2b_dilated=args.s2b)
     cache = "var/bench_variables.msgpack"
     if os.path.exists(cache):
         from flax import serialization

@@ -80,6 +80,39 @@ class StemConvBN(nn.Module):
         return out
 
 
+class _ConvKernel(nn.Module):
+    """Bare HWIO kernel param at nn.Conv's tree path (`conv/kernel`), so
+    checkpoints are agnostic to how the conv is applied (see StemConvBN)."""
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+def _dilated2_conv_s2b(x, w):
+    """3x3 / dilation-2 / pad-2 / stride-1 conv as space-to-batch: split
+    H,W into 2x2 phases, run a REGULAR 3x3 pad-1 conv on (4B, H/2, W/2, C)
+    phase maps, interleave back. Exact rewrite: each phase's pad-1 zero
+    border corresponds precisely to the taps the dilated conv would read
+    outside the (zero-padded) input. Measured 1.37x faster than XLA's
+    native dilated conv at the layer3 shape (tools/ab_dilated.py)."""
+    b, h, wd, c = x.shape
+    hp, wp = (h + 1) // 2 * 2, (wd + 1) // 2 * 2
+    if (hp, wp) != (h, wd):
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+    ph = x.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    ph = ph.transpose(2, 4, 0, 1, 3, 5).reshape(4 * b, hp // 2, wp // 2, c)
+    y = jax.lax.conv_general_dilated(
+        ph, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    co = y.shape[-1]
+    y = y.reshape(2, 2, b, hp // 2, wp // 2, co)
+    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(b, hp, wp, co)
+    return y[:, :h, :wd]
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int
@@ -87,19 +120,27 @@ class ConvBN(nn.Module):
     padding: int = 0
     dilation: int = 1
     dtype: Any = jnp.float32
+    s2b: bool = False  # exact space-to-batch rewrite of dilation-2 convs
 
     @nn.compact
     def __call__(self, x, bn_train: bool):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (self.s2b and self.dilation == 2 and self.kernel == 3
+                and self.stride == 1 and self.padding == 2):
+            w = _ConvKernel((3, 3, x.shape[-1], self.features),
+                            name="conv")()
+            x = _dilated2_conv_s2b(x.astype(self.dtype),
+                                   w.astype(self.dtype))
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not bn_train,
             momentum=0.9,
@@ -120,6 +161,7 @@ class Bottleneck(nn.Module):
     downsample_kernel: int = 1
     downsample_padding: int = 0
     dtype: Any = jnp.float32
+    s2b: bool = False
 
     @nn.compact
     def __call__(self, x, bn_train: bool):
@@ -129,6 +171,7 @@ class Bottleneck(nn.Module):
         out = ConvBN(
             self.planes, 3, stride=self.stride, padding=self.conv2_padding,
             dilation=self.conv2_dilation, dtype=self.dtype, name="cb2",
+            s2b=self.s2b,
         )(out, bn_train)
         out = nn.relu(out)
         out = ConvBN(self.planes * 4, 1, dtype=self.dtype, name="cb3")(out, bn_train)
@@ -154,6 +197,7 @@ class ResNetPlus2(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
     s2d_stem: bool = False  # exact TPU rewrite of the stem (see StemConvBN)
+    s2b_dilated: bool = False  # exact rewrite of layer3's dilated convs
 
     def _stage(self, x, planes, blocks, stride, dilation, name, bn_train):
         if dilation > 1:
@@ -185,7 +229,7 @@ class ResNetPlus2(nn.Module):
         for i in range(1, blocks):
             x = Bottleneck(
                 planes, conv2_padding=rest_pad, conv2_dilation=rest_dil,
-                dtype=self.dtype, name=f"{name}_{i}",
+                dtype=self.dtype, name=f"{name}_{i}", s2b=self.s2b_dilated,
             )(x, bn_train)
         return x
 

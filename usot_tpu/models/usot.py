@@ -69,9 +69,13 @@ class USOTNet(nn.Module):
     # Exact space-to-depth stem rewrite (backbone.StemConvBN): same params,
     # same math, TPU-friendlier layout.
     s2d_stem: bool = False
+    # Exact space-to-batch rewrite of layer3's dilation-2 convs
+    # (backbone._dilated2_conv_s2b): same params, same math.
+    s2b_dilated: bool = False
 
     def setup(self):
-        self.features = ResNetPlus2(dtype=self.dtype, s2d_stem=self.s2d_stem)
+        self.features = ResNetPlus2(dtype=self.dtype, s2d_stem=self.s2d_stem,
+                                    s2b_dilated=self.s2b_dilated)
         self.neck = AdjustLayer(out_channels=256, dtype=self.dtype)
         self.connect = BoxTowerReg(out_channels=256, tower_num=4,
                                    dtype=self.dtype,
