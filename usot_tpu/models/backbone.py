@@ -131,6 +131,16 @@ class ConvBN(nn.Module):
             x = _dilated2_conv_s2b(x.astype(self.dtype),
                                    w.astype(self.dtype))
         else:
+            if self.s2b:
+                # s2b requested but the conv doesn't match the
+                # dilation-2/k3/s1/pad-2 pattern the rewrite covers —
+                # surface it so a future stage-config change (e.g. a
+                # dilation-4 layer4) doesn't silently lose the rewrite.
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ConvBN s2b=True ignored: k=%d s=%d d=%d p=%d is not "
+                    "the dilation-2 pattern; using nn.Conv", self.kernel,
+                    self.stride, self.dilation, self.padding)
             x = nn.Conv(
                 self.features,
                 (self.kernel, self.kernel),
