@@ -29,7 +29,7 @@ import pytest
 _SLOW_MODULES = {
     "test_engine", "test_train", "test_train_cli", "test_integration",
     "test_torch_parity", "test_reference_parity", "test_tracker",
-    "test_model", "test_convert", "test_onekey_pipeline",
+    "test_model", "test_convert", "test_onekey_pipeline", "test_lockstep",
 }
 # Fast exceptions inside slow modules (pure ring/bookkeeping logic).
 _FAST_CLASSES = {"TestMemoryRing", "TestMemoryRingLongVideo",

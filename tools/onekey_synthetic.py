@@ -150,8 +150,14 @@ def run(workdir: str, n_videos: int = 3, n_frames: int = 16,
     aucs = {t: float(np.mean([np.mean(v) for v in
                               out["success"][t].values()]))
             for t in trackers}
+    stages = {}
+    stage_path = os.path.join(workdir, "log", "onekey_stages.json")
+    if os.path.exists(stage_path):
+        with open(stage_path) as f:
+            stages = json.load(f)
     summary = {"trackers": trackers, "auc": aucs,
-               "max_auc": max(aucs.values())}
+               "max_auc": max(aucs.values()),
+               "stage_seconds": stages}
     with open(os.path.join(workdir, "onekey_result.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary

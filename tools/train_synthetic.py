@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--end-epoch", type=int, default=7)
     ap.add_argument("--root", default="var/synth_train")
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--channels", type=int, default=256)
     args = ap.parse_args()
 
     import yaml
@@ -75,6 +77,8 @@ def main():
             "WORKERS": 2,
             "PRINT_FREQ": 10,
             "TRAIN": {
+                "WIDTH": args.width,
+                "CHANNELS": args.channels,
                 "START_EPOCH": 1,
                 "END_EPOCH": args.end_epoch,
                 "BATCH": args.batch,

@@ -18,11 +18,18 @@ Config keys used (all under USOT:):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import subprocess
 import sys
+import time
 
 import yaml
+
+# Per-stage wall-clock seconds of the last main() run (also written to
+# <OUTPUT_DIR>/onekey_stages.json) — the machine-readable record of the
+# L1->L7 chain (ref: scripts/onekey_usot.py logs stage boundaries).
+STAGE_TIMES: dict = {}
 
 
 def parse_args(argv=None):
@@ -34,9 +41,12 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _run(cmd):
+def _run(cmd, stage=None):
     print("==>", " ".join(cmd), flush=True)
+    t0 = time.perf_counter()
     subprocess.run(cmd, check=True)
+    if stage:
+        STAGE_TIMES[stage] = round(time.perf_counter() - t0, 3)
 
 
 def main(argv=None):
@@ -60,11 +70,11 @@ def main(argv=None):
                 cmd += [flag, str(pre[key])]
         if pre.get("KEEP_ALL", False):
             cmd.append("--keep_all")
-        _run(cmd)
+        _run(cmd, stage="preprocess")
 
     if cfg["TRAIN"].get("ISTRUE", True):
         _run([sys.executable, "-m", "usot_tpu.cli.train",
-              "--cfg", args.cfg])
+              "--cfg", args.cfg], stage="train")
 
     test = cfg.get("TEST", {})
     if test.get("ISTRUE", True):
@@ -82,7 +92,7 @@ def main(argv=None):
                           ("MEM_SIZE", "--mem_size")):
             if key in test:
                 cmd += [flag, str(test[key])]
-        _run(cmd)
+        _run(cmd, stage="test_epochs")
 
         result_root = os.path.join(result_dir, data)
         trackers = sorted(os.listdir(result_root)) if \
@@ -98,10 +108,13 @@ def main(argv=None):
                                                 args.dataset_dir),
                       "--dataset", data,
                       "--tracker_result_dir", result_root,
-                      "--trackers", *trackers])
+                      "--trackers", *trackers], stage="evaluate")
             except subprocess.CalledProcessError as e:
                 print(f"onekey: evaluate stage failed (rc={e.returncode});"
                       " train/test results are intact", file=sys.stderr)
+
+    with open(os.path.join(log_dir, "onekey_stages.json"), "w") as f:
+        json.dump(STAGE_TIMES, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,7 @@ def main(argv=None):
     logger.info("devices: %d (mesh %s)", n_dev, mesh.shape)
 
     model = build_usot(mem_size=tc.MEMORY_NUM,
+                       width=tc.WIDTH, channels=tc.CHANNELS,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
     variables = init_variables(model, jax.random.PRNGKey(0))

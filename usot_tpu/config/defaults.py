@@ -52,6 +52,10 @@ def default_config() -> EDict:
     # ------ Training ------
     t = cfg.USOT.TRAIN
     t.MODEL = "USOT"
+    # Model scale (reference: 64/256). Reduced values give dev/test-scale
+    # models (e.g. the committed parity fixture trains at 8/32).
+    t.WIDTH = 64
+    t.CHANNELS = 256
     t.RESUME = False
     t.START_EPOCH = 1
     t.END_EPOCH = 30

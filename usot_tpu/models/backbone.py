@@ -23,15 +23,16 @@ from flax import linen as nn
 
 
 class _StemKernel(nn.Module):
-    """Bare (7,7,3,64) kernel param at the same tree path nn.Conv would
+    """Bare (7,7,3,width) kernel param at the same tree path nn.Conv would
     use (`<parent>/conv/kernel`), so checkpoints/converters are agnostic
     to how the stem is *applied* (direct 7x7/s2 vs space-to-depth)."""
     dtype: Any = jnp.float32
+    width: int = 64
 
     @nn.compact
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
-                          (7, 7, 3, 64), jnp.float32)
+                          (7, 7, 3, self.width), jnp.float32)
 
 
 class StemConvBN(nn.Module):
@@ -49,10 +50,11 @@ class StemConvBN(nn.Module):
     """
     dtype: Any = jnp.float32
     s2d: bool = False
+    width: int = 64
 
     @nn.compact
     def __call__(self, x, bn_train: bool):
-        w = _StemKernel(dtype=self.dtype, name="conv")()
+        w = _StemKernel(dtype=self.dtype, width=self.width, name="conv")()
         w = w.astype(self.dtype)
         x = x.astype(self.dtype)
         dn = ("NHWC", "HWIO", "NHWC")
@@ -69,8 +71,9 @@ class StemConvBN(nn.Module):
             xs = x.reshape(n, hh, 2, ww, 2, c)
             xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh, ww, 4 * c)
             wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
-            ws = wp.reshape(4, 2, 4, 2, c, 64)
-            ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+            ws = wp.reshape(4, 2, 4, 2, c, self.width)
+            ws = ws.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                        self.width)
             out = jax.lax.conv_general_dilated(
                 xs, ws, window_strides=(1, 1), padding="VALID",
                 dimension_numbers=dn)
@@ -208,6 +211,10 @@ class ResNetPlus2(nn.Module):
     dtype: Any = jnp.float32
     s2d_stem: bool = False  # exact TPU rewrite of the stem (see StemConvBN)
     s2b_dilated: bool = False  # exact rewrite of layer3's dilated convs
+    # Stage width multiplier base (reference ResNet-50: 64). Reduced
+    # widths give dev/test-scale models whose checkpoints are small
+    # enough to commit as parity fixtures (tests/fixtures/).
+    width: int = 64
 
     def _stage(self, x, planes, blocks, stride, dilation, name, bn_train):
         if dilation > 1:
@@ -248,11 +255,14 @@ class ResNetPlus2(nn.Module):
         """x: (N, H, W, 3). BN modes: stem (conv1/bn1) and stages separately,
         mirroring the staged freeze/unfreeze schedule
         (ref: scripts/train_usot.py:72-102)."""
-        x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem, name="stem")(
-            x, stem_bn_train)
+        x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem,
+                       width=self.width, name="stem")(x, stem_bn_train)
         x = nn.relu(x)
         x = _max_pool_3x3_s2_p1(x)
-        x = self._stage(x, 64, self.layers[0], 1, 1, "layer1", stage_bn_train)
-        x = self._stage(x, 128, self.layers[1], 2, 1, "layer2", stage_bn_train)
-        x = self._stage(x, 256, self.layers[2], 1, 2, "layer3", stage_bn_train)
+        w = self.width
+        x = self._stage(x, w, self.layers[0], 1, 1, "layer1", stage_bn_train)
+        x = self._stage(x, w * 2, self.layers[1], 2, 1, "layer2",
+                        stage_bn_train)
+        x = self._stage(x, w * 4, self.layers[2], 1, 2, "layer3",
+                        stage_bn_train)
         return x

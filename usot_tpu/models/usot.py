@@ -72,12 +72,20 @@ class USOTNet(nn.Module):
     # Exact space-to-batch rewrite of layer3's dilation-2 convs
     # (backbone._dilated2_conv_s2b): same params, same math.
     s2b_dilated: bool = False
+    # Model scale: backbone stage width base (reference: 64) and
+    # neck/head channel count (reference: 256). Reduced values give
+    # dev/test-scale models — e.g. build_usot(width=16, channels=32) is
+    # ~0.5M params, small enough to train once and COMMIT the trained
+    # checkpoint as a full-step parity fixture (tests/fixtures/).
+    width: int = 64
+    channels: int = 256
 
     def setup(self):
         self.features = ResNetPlus2(dtype=self.dtype, s2d_stem=self.s2d_stem,
-                                    s2b_dilated=self.s2b_dilated)
-        self.neck = AdjustLayer(out_channels=256, dtype=self.dtype)
-        self.connect = BoxTowerReg(out_channels=256, tower_num=4,
+                                    s2b_dilated=self.s2b_dilated,
+                                    width=self.width)
+        self.neck = AdjustLayer(out_channels=self.channels, dtype=self.dtype)
+        self.connect = BoxTowerReg(out_channels=self.channels, tower_num=4,
                                    dtype=self.dtype,
                                    fused_xcorr=self.fused_xcorr)
 
@@ -311,9 +319,10 @@ def init_variables(model: USOTNet, rng, batch: int = 1):
         tb = jnp.asarray([[1.0, 1.0, 5.0, 5.0]], model.dtype)
         v_backbone = model.init(rng, z, tb,
                                 method=USOTNet.template_features)
-        xf = jnp.zeros((1, 13, 13, 256), model.dtype)
-        zf = jnp.zeros((1, 7, 7, 256), model.dtype)
-        mem = jnp.zeros((2, 7, 7, 256), model.dtype)
+        c = model.channels
+        xf = jnp.zeros((1, 13, 13, c), model.dtype)
+        zf = jnp.zeros((1, 7, 7, c), model.dtype)
+        mem = jnp.zeros((2, 7, 7, c), model.dtype)
         v_head = model.init(rng, xf, zf, mem, method=USOTNet.track_memory)
 
         variables = {

@@ -1005,6 +1005,115 @@ class BatchScanEngine(ScanEngine):
             pending.append((nb, outs))
         return (state,) + self._collate(pending)
 
+    # ---- lane surgery (VOT restart protocol + lane refill) ----
+
+    def run_chunk(self, state, block_tb, valid, donate: bool = True):
+        """One chunk dispatch on pre-assembled (T, B, H, W*3) uint8
+        frames + (T, B) validity. donate=False keeps `state` alive so a
+        protocol driver can replay the chunk from it after carry surgery
+        (the VOT restart path, tracker/lockstep.py)."""
+        fn = self._chunk_fn if donate else self._chunk_fn_nodonate
+        return fn(self.variables, state, jnp.asarray(block_tb),
+                  jnp.asarray(valid), self._avg_b, self._im_hw_b,
+                  jnp.zeros((self.batch, 2), jnp.float32))
+
+    def make_lane_state(self, im, target_pos, target_sz, runner):
+        """Per-video init producing the pieces `splice_lane` writes into
+        one lane of a batched carry. Uses the SAME B=1 model passes as
+        ScanEngine.init_state, so a restarted / refilled lane starts
+        from a state identical to a fresh single-video engine's (the
+        reference restart protocol re-enters tracker.init the same way,
+        ref: scripts/test_usot.py:98-103 -> lib/tracker/usot_tracker.py
+        init)."""
+        h = self._init_host(im, target_pos, target_sz)
+        zf = runner.template(h["z_crop"], h["tb"])
+        zf_enc = runner.encode_template(zf)      # (cls, reg) of (1,h,w,C)
+        feat0 = runner.extract_memory_feature(x_hwc=h["x_crop"],
+                                              search_bbox=h["sb0"])
+        feat1 = runner.extract_memory_feature(x_hwc=h["x_aug"],
+                                              search_bbox=h["sb1"])
+        feat_enc = runner.encode_memory_kernels(
+            jnp.concatenate([feat0, feat1], axis=0))  # 3x (2, h, w, C)
+        return dict(
+            pos=np.asarray(h["pos"], np.float32),
+            sz=np.asarray(h["sz"], np.float32),
+            avg=np.asarray(h["avg"], np.float32),
+            im_hw=np.asarray([im.shape[0], im.shape[1]], np.float32),
+            zf_enc=zf_enc, feat_enc=feat_enc)
+
+    @property
+    def _splice_fn(self):
+        """Jitted one-lane carry overwrite. The big ring tensors are NOT
+        reset wholesale: only slot 0 is written, the lane's conf/idx/len
+        bookkeeping is reset, and stale ring content becomes unreachable
+        (queue picks match slots by stored logical index, _queue_picks)
+        — so a splice moves KBs, not the (MAX, ...) ring."""
+        fn = getattr(self, "_splice_jit", None)
+        if fn is None:
+            S = self.max_frames
+
+            def splice(carry, avg_b, im_hw_b, lane, pos, sz, avg, im_hw,
+                       zf_enc, feat_enc):
+                def put(arr, val):
+                    return jax.lax.dynamic_update_slice(
+                        arr, val.astype(arr.dtype)[None],
+                        (lane,) + (0,) * (arr.ndim - 1))
+
+                new = EngineState(
+                    pos=put(carry.pos, pos),
+                    sz=put(carry.sz, sz),
+                    zf_enc=jax.tree.map(lambda a, v: put(a, v),
+                                        carry.zf_enc, zf_enc),
+                    init_enc=tuple(
+                        put(a, v) for a, v in zip(carry.init_enc,
+                                                  feat_enc)),
+                    # slot 0 <- unflipped bootstrap; rest left stale
+                    mem_enc=tuple(
+                        jax.lax.dynamic_update_slice(
+                            r, v[:1][None].astype(r.dtype),
+                            (lane, 0) + (0,) * (r.ndim - 2))
+                        for r, v in zip(carry.mem_enc, feat_enc)),
+                    mem_conf=put(
+                        carry.mem_conf,
+                        jnp.zeros((S,), jnp.float32).at[0].set(0.9)),
+                    mem_idx=put(
+                        carry.mem_idx,
+                        jnp.full((S,), -1, jnp.int32).at[0].set(0)),
+                    mem_len=jax.lax.dynamic_update_slice(
+                        carry.mem_len, jnp.ones((1,), jnp.int32),
+                        (lane,)),
+                )
+                return new, put(avg_b, avg), put(im_hw_b, im_hw)
+
+            kw = {}
+            if self.mesh is not None:
+                carry_sh = self._jit_shardings["in_shardings"][1]
+                kw = dict(out_shardings=(carry_sh, self._shard_b0,
+                                         self._shard_b0))
+            self._splice_jit = jax.jit(splice, donate_argnums=(0, 1, 2),
+                                       **kw)
+            fn = self._splice_jit
+        return fn
+
+    def splice_lane(self, state: EngineState, lane: int,
+                    lane_state: dict) -> EngineState:
+        """Overwrite one lane of a batched carry with a fresh video init
+        (from make_lane_state) and update the engine's per-lane avg /
+        im_hw rows. Used by the VOT restart protocol (re-init a failed
+        lane mid-benchmark) and by lane refill (start the next pending
+        video in a finished lane)."""
+        zf_enc = jax.tree.map(jnp.asarray, lane_state["zf_enc"])
+        feat_enc = tuple(jnp.asarray(f) for f in lane_state["feat_enc"])
+        state, self._avg_b, self._im_hw_b = self._splice_fn(
+            state, self._avg_b, self._im_hw_b,
+            jnp.asarray(lane, jnp.int32),
+            jnp.asarray(lane_state["pos"]),
+            jnp.asarray(lane_state["sz"]),
+            jnp.asarray(lane_state["avg"]),
+            jnp.asarray(lane_state["im_hw"]),
+            zf_enc, feat_enc)
+        return state
+
     def stage_frames(self, frames_u8: np.ndarray, n_valid: np.ndarray):
         """Pre-upload every chunk of a (B, N, H, W, 3) frame tensor into
         device HBM (flat layout); returns an opaque list for
