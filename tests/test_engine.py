@@ -1,4 +1,6 @@
 """Scan-engine tests: mechanics + agreement with the parity tracker."""
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -69,14 +71,114 @@ class TestScanEngine:
         est, pos, sz, score = engine.track_frames(est, np.stack(frames[1:]))
 
         ref_pos = np.stack(ref_pos)
-        # With random (calibrated) weights the response map is noise, so the
-        # argmax is chaotic: tiny f32-vs-f64 crop/postprocess differences can
-        # flip the winning cell. Check the first-frame outputs agree loosely
-        # and both paths stay well-behaved; checkpoint-level parity is what
-        # pins exact agreement (BASELINE configs).
+        # With random (calibrated) weights the response map is noise, so
+        # the argmax is chaotic: tiny f32-vs-f64 crop/postprocess
+        # differences can flip the winning cell, making any px bound on
+        # THIS setup meaningless. This test only checks both paths stay
+        # well-behaved; sub-pixel full-step agreement is pinned with the
+        # committed TRAINED fixture below (TestTrainedFixtureParity).
         err = np.linalg.norm(pos - ref_pos, axis=1)
         assert np.all(np.isfinite(err))
-        assert err[0] < 130.0, (pos[0], ref_pos[0])  # within a search region
+
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "tiny_usot_w8c32.msgpack")
+
+
+class TestTrainedFixtureParity:
+    """Full-step sub-pixel parity on a committed TRAINED checkpoint
+    (tools/make_tiny_fixture.py: width-8/channels-32 dev-scale model,
+    synthetic recipe). A trained response map is peaked, so the scan
+    engine (f32, on-device) and the host parity tracker (f64 postprocess)
+    must take identical argmax decisions — a postprocess, crop, queue, or
+    memory-write regression now fails the suite at 0.5 px instead of
+    hiding under random-weight chaos (retires the old err<130 bound)."""
+
+    @pytest.fixture(scope="class")
+    def tiny(self):
+        from flax import serialization
+
+        with open(FIXTURE, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        model = build_usot(mem_size=int(restored.get("mem_size", 2)),
+                           width=int(restored.get("width", 8)),
+                           channels=int(restored.get("channels", 32)))
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        return model, variables, ModelRunner(model, variables)
+
+    def test_scan_matches_parity_subpixel_20_frames(self, tiny,
+                                                    monkeypatch):
+        """Crop pixels are the ONE intended engine/parity difference
+        (cv2 fixed-point uint8 vs float bilinear — cross-tested to <1.0
+        mean intensity, tests/test_misc.py); feeding the parity tracker
+        the engine's float crop for track-time windows isolates the rest
+        of the step — backbone, heads, queue sampling, memory write,
+        postprocess — which must then agree to sub-pixel for 20 frames."""
+        import jax.numpy as jnp
+
+        from usot_tpu.core.crop import get_subwindow, subwindow_jax
+        import usot_tpu.tracker.tracker as tracker_mod
+
+        model, variables, runner = tiny
+        frames, centers = synthetic_video(n_frames=21)
+
+        def float_crop(im, pos, model_sz, original_sz, avg_chans,
+                       target_sz=None, need_bbox=False):
+            if target_sz is not None or need_bbox:
+                # init-path crops (engine init uses the same host path)
+                return get_subwindow(im, pos, model_sz, original_sz,
+                                     avg_chans, target_sz, need_bbox)
+            dev = subwindow_jax(jnp.asarray(im, jnp.float32),
+                                float(pos[0]), float(pos[1]),
+                                float(original_sz),
+                                jnp.asarray(avg_chans, jnp.float32),
+                                model_sz)
+            return np.asarray(dev), {}
+
+        monkeypatch.setattr(tracker_mod, "get_subwindow", float_crop)
+
+        tracker = USOTTracker()
+        st = tracker.init(frames[0], np.array(centers[0], float),
+                          np.array([48.0, 48.0]), runner)
+        ref_pos, ref_sz = [], []
+        for im in frames[1:]:
+            st = tracker.track(st, im)
+            ref_pos.append(np.array(st["target_pos"]))
+            ref_sz.append(np.array(st["target_sz"]))
+        ref_pos, ref_sz = np.stack(ref_pos), np.stack(ref_sz)
+
+        p = TrackerConfig()
+        p.instance_size = st["p"].instance_size
+        p.renew()
+        p.sf_size = p.score_size
+        engine = ScanEngine(model, variables, p,
+                            im_h=frames[0].shape[0],
+                            im_w=frames[0].shape[1],
+                            max_frames=64, chunk=8)
+        est = engine.init_state(frames[0], np.array(centers[0], float),
+                                np.array([48.0, 48.0]), runner)
+        _, pos, sz, _ = engine.track_frames(est, np.stack(frames[1:]))
+
+        err = np.linalg.norm(pos - ref_pos, axis=1)
+        assert err.max() <= 0.5, f"scan-vs-parity px err {err}"
+        np.testing.assert_allclose(sz, ref_sz, atol=0.5)
+
+    def test_fixture_actually_tracks(self, tiny):
+        """The committed checkpoint follows the synthetic target (sanity:
+        the parity assertions above are only meaningful on a tracker
+        whose argmax follows signal, not noise)."""
+        model, variables, runner = tiny
+        frames, centers = synthetic_video(n_frames=13)
+        tracker = USOTTracker()
+        st = tracker.init(frames[0], np.array(centers[0], float),
+                          np.array([48.0, 48.0]), runner)
+        errs = []
+        for f, im in enumerate(frames[1:], start=1):
+            st = tracker.track(st, im)
+            errs.append(np.linalg.norm(
+                np.asarray(st["target_pos"]) - np.asarray(centers[f])))
+        assert np.mean(errs) < 24.0, f"center errors {errs}"
 
 
 class TestMemoryRing:

@@ -101,6 +101,25 @@ def main():
               f"{b/sec:.1f} samples/s "
               f"(epoch of 50k samples: {50000*sec/b/60:.1f} min)",
               flush=True)
+        # MFU attribution: XLA's own flop count for the compiled step
+        # against the v5e bf16 MXU peak (197 TFLOP/s). f32 runs are
+        # still reported against the bf16 peak (labelled) so the two
+        # modes are comparable on one scale.
+        try:
+            ca = step.lower(st, batch, jnp.float32(0.005),
+                            jnp.float32(0.5)).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception as e:  # cost analysis is best-effort per backend
+            print(f"{name}: cost_analysis unavailable: {e}")
+            flops = 0.0
+        if flops > 0:
+            peak = 197e12
+            print(f"{name}: XLA-counted {flops/1e12:.2f} TFLOP/step -> "
+                  f"{flops/sec/1e12:.1f} TFLOP/s = "
+                  f"{100*flops/sec/peak:.1f}% of bf16 MXU peak",
+                  flush=True)
         if cyc:
             device_only_mem = b / sec
 

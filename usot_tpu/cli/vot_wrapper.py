@@ -66,10 +66,11 @@ class VOT:
     def __init__(self, region_format, channels=None):
         try:
             import trax
-        except ImportError as e:
-            raise RuntimeError(
-                "the `trax` package is required for VOT-toolkit integration; "
-                "install it inside the vot workspace environment") from e
+        except ImportError:
+            # the pip trax package is not baked into every environment;
+            # the framework carries its own TraX v3 protocol speaker
+            # with the same client API (eval/trax_protocol.py)
+            from usot_tpu.eval import trax_protocol as trax
 
         assert region_format in (trax.Region.RECTANGLE, trax.Region.POLYGON,
                                  trax.Region.MASK)
@@ -133,7 +134,8 @@ class VOT:
 
 
 def run(ckpt_path: str = "var/snapshot/USOT_star.pth",
-        region_format: str = "rectangle"):
+        region_format: str = "rectangle", mem_size: int = 4,
+        width: int = 64, channels: int = 256):
     """Track one TraX-served sequence.
 
     region_format="mask" is the VOT2020 protocol: initialize from the
@@ -141,6 +143,8 @@ def run(ckpt_path: str = "var/snapshot/USOT_star.pth",
     prediction as a full-frame binary mask (the rect filled — USOT is a
     box tracker; ref mask plumbing: scripts/vot.py:52-53,84-85 and the
     mask<->rect helpers in scripts/test_vot2020.py:21-69)."""
+    from usot_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
 
     from usot_tpu.core.geometry import cxy_wh_2_rect, get_axis_aligned_bbox
@@ -151,11 +155,14 @@ def run(ckpt_path: str = "var/snapshot/USOT_star.pth",
     import cv2
     import os
 
-    model = build_usot(mem_size=4)
+    model = build_usot(mem_size=mem_size, width=width, channels=channels)
     if os.path.exists(ckpt_path):
         variables = load_variables(ckpt_path)
     else:
         variables = init_variables(model, jax.random.PRNGKey(0))
+        # fresh BN stats saturate the exp() bbox decode (see cli/test.py)
+        from usot_tpu.models.calibrate import calibrate_batch_stats
+        variables = calibrate_batch_stats(model, variables, n_iter=10)
     runner = ModelRunner(model, variables)
     tracker = USOTTracker()
 
@@ -193,5 +200,14 @@ def run(ckpt_path: str = "var/snapshot/USOT_star.pth",
 
 
 if __name__ == "__main__":
-    run(sys.argv[1] if len(sys.argv) > 1 else "var/snapshot/USOT_star.pth",
-        sys.argv[2] if len(sys.argv) > 2 else "rectangle")
+    import argparse
+
+    _ap = argparse.ArgumentParser(description="TraX tracker endpoint")
+    _ap.add_argument("ckpt", nargs="?", default="var/snapshot/USOT_star.pth")
+    _ap.add_argument("region_format", nargs="?", default="rectangle")
+    _ap.add_argument("--mem_size", type=int, default=4)
+    _ap.add_argument("--width", type=int, default=64)
+    _ap.add_argument("--channels", type=int, default=256)
+    _a = _ap.parse_args()
+    run(_a.ckpt, _a.region_format, mem_size=_a.mem_size, width=_a.width,
+        channels=_a.channels)

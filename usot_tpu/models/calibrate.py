@@ -39,7 +39,10 @@ def calibrate_batch_stats(model: USOTNet, variables, seed: int = 0,
     score = backbone_out(search) - 6  # head VALID convs + xcorr
 
     calib_model = USOTNet(mem_size=1, search_size=search, score_size=score,
-                          sf_size=score, dtype=model.dtype)
+                          sf_size=score, dtype=model.dtype,
+                          width=model.width, channels=model.channels,
+                          s2d_stem=model.s2d_stem,
+                          s2b_dilated=model.s2b_dilated)
 
     try:
         calib_dev = jax.devices("cpu")[0]

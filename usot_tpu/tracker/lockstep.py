@@ -80,7 +80,8 @@ class VOTLaneResult:
 
 def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
                   small_sz_thresh: float = 0.004,
-                  small_sz: int = 0, big_sz: int = 0):
+                  small_sz: int = 0, big_sz: int = 0,
+                  stage: bool = False):
     """Track one lockstep group of VOT videos with the restart protocol.
 
     engine: BatchScanEngine with batch == len(canvases).
@@ -92,6 +93,13 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
     caller to finish on the matching scan engine — the reference
     re-chooses big/small at every init (ref: lib/tracker/usot_tracker.py
     init; scripts/test_usot.py re-init loop).
+
+    stage=True pre-uploads every chunk's frame block into HBM before the
+    protocol loop. Lanes are pinned to videos here (absolute == local
+    frame index), so the blocks are restart-independent and replays
+    reuse the staged block — this measures chip protocol throughput
+    rather than host-link bandwidth (same staged-vs-streaming
+    methodology as bench.py; see PERF_NOTES.md).
 
     Returns list[VOTLaneResult]. Protocol semantics match the
     single-video scan path (cli/test.py track_video_scan) frame by
@@ -149,6 +157,17 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
         resume[v] = r + 1
         return st, True
 
+    staged = {}
+    if stage:
+        import jax
+
+        for cs in range(1, max_n, chunk):
+            block = _flat_block(canvases, list(range(b)), [cs] * b,
+                                n_frames, chunk, ch, cw)
+            staged[cs] = jax.device_put(block)
+        for blk in staged.values():  # true upload fence (see stage_frames)
+            np.asarray(blk[0, 0, 0, :1])
+
     for cs in range(1, max_n, chunk):
         ce = min(cs + chunk, max_n)
         # restarts whose resume frame falls inside (or before) this chunk
@@ -157,6 +176,8 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
                 state, _ = do_splice(state, v, await_r[v])
         if all(m == MODE_DONE for m in mode):
             break
+        if not any(m == MODE_TRACK for m in mode):
+            continue  # only awaits pending beyond this chunk: skip it
 
         # replay loop: run the chunk, consume, splice failed lanes into
         # the SAVED pre-chunk carry and re-run until no new failure
@@ -170,9 +191,11 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
                 hi = min(n_frames[v], ce)
                 if lo < hi:
                     valid[lo - cs:hi - cs, v] = True
-            lane_vids = list(range(b))
-            block = _flat_block(canvases, lane_vids, [cs] * b, n_frames,
-                                chunk, ch, cw)
+            if stage:
+                block = staged[cs]
+            else:
+                block = _flat_block(canvases, list(range(b)), [cs] * b,
+                                    n_frames, chunk, ch, cw)
             post_state, outs = engine.run_chunk(pre_state, block, valid,
                                                 donate=False)
             pos = np.asarray(outs[0], np.float64)   # (T, B, 2)
