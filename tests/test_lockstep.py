@@ -78,6 +78,51 @@ class TestSpliceLane:
         np.testing.assert_allclose(pos_b[1], pos_s, atol=2e-3)
         np.testing.assert_allclose(sz_b[1], sz_s, atol=2e-3)
 
+    def test_splice_lanes_matches_per_lane(self, setup):
+        """Batched boundary splice (make_lane_states + splice_lanes) vs
+        sequential single-lane splices: the untouched lane must be
+        bit-identical, the respliced lanes equal within the usual
+        batched-vs-single f32 tolerance (the batched path runs the
+        group-shaped init passes instead of B=1 passes)."""
+        model, variables, runner = setup
+        frames_a, centers_a = synthetic_video(n_frames=7, seed=0)
+        frames_c, centers_c = synthetic_video(n_frames=7, seed=5)
+        frames_d, centers_d = synthetic_video(n_frames=7, seed=9)
+        H, W = frames_a[0].shape[:2]
+        p = small_config()
+
+        def run(batched):
+            eng = BatchScanEngine(model, variables, p, canvas_h=H,
+                                  canvas_w=W, batch=3, max_frames=32,
+                                  chunk=3)
+            videos = [(frames_a[0], np.array(centers_a[0], float),
+                       np.array([48.0, 48.0]))] * 3
+            st = eng.init_batch(videos, runner)
+            fb = np.stack([np.stack(frames_a[1:4])] * 3)
+            st, _, _, _ = eng.track_batch(st, fb,
+                                          n_valid=np.array([3, 3, 3]))
+            fresh = [(frames_c[0], np.array(centers_c[0], float),
+                      np.array([48.0, 48.0])),
+                     (frames_d[0], np.array(centers_d[0], float),
+                      np.array([40.0, 40.0]))]
+            if batched:
+                ls = eng.make_lane_states(fresh, runner)
+                st = eng.splice_lanes(st, [1, 2], ls)
+            else:
+                for lane, (im, tp, ts) in zip((1, 2), fresh):
+                    st = eng.splice_lane(
+                        st, lane, eng.make_lane_state(im, tp, ts, runner))
+            fb2 = np.stack([np.stack(frames_a[4:]),
+                            np.stack(frames_c[1:4]),
+                            np.stack(frames_d[1:4])])
+            return eng.track_batch(st, fb2, n_valid=np.array([3, 3, 3]))
+
+        _, pos_a, sz_a, _ = run(False)
+        _, pos_b, sz_b, _ = run(True)
+        np.testing.assert_array_equal(pos_a[0], pos_b[0])
+        np.testing.assert_allclose(pos_b[1:], pos_a[1:], atol=2e-3)
+        np.testing.assert_allclose(sz_b[1:], sz_a[1:], atol=2e-3)
+
     def test_splice_leaves_other_lanes_untouched(self, setup):
         model, variables, runner = setup
         frames, centers = synthetic_video(n_frames=7)

@@ -118,12 +118,21 @@ def bench_vot(args):
     print(f"vot: compile+warmup {time.perf_counter() - t0:.1f}s",
           flush=True)
 
+    # stage the frame blocks ONCE; reps measure chip protocol
+    # throughput, not the host-link upload (bench.py methodology)
+    from usot_tpu.tracker.lockstep import stage_vot_blocks
+    t0 = time.perf_counter()
+    staged = stage_vot_blocks(engine, canvases)
+    mb = sum(v.nbytes for v in staged.values()) / 1e6
+    print(f"vot: staged {b * n} frames ({mb:.0f}MB) in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
     reps = []
     for r in range(args.reps):
         t0 = time.perf_counter()
         results = run_vot_group(engine, runner, canvases, hws, gts,
                                 p.instance_size, small_sz=p.small_sz,
-                                big_sz=p.big_sz, stage=True)
+                                big_sz=p.big_sz, staged_blocks=staged)
         dt = time.perf_counter() - t0
         total = sum(len(res.regions) for res in results)
         n_restarts = sum(
@@ -149,11 +158,13 @@ def bench_refill(args):
     long_f, centers = synthetic_video(long_n, h, w)
     short_f = long_f[:short_n]
 
-    # 2 long + 22 short videos; arbitrary benchmark order would split the
-    # long ones across fixed groups, so interleave them
+    # --longs long + rest short videos; arbitrary benchmark order
+    # scatters the long ones across fixed padded groups (when there are
+    # at least as many longs as groups, ~every group gets one — LaSOT's
+    # 1k-10k skew in miniature), so place one at the head of each group
     specs = []
-    for i in range(24):
-        is_long = i in (0, 12)
+    for i in range(args.videos):
+        is_long = i % b == 0 and i // b < args.longs
         specs.append(dict(
             name=f"v{i:02d}", canvas=long_f if is_long else short_f,
             h=h, w=w, init_pos=np.array(centers[0], float),
@@ -167,40 +178,52 @@ def bench_refill(args):
                              batch=b, max_frames=max(256, long_n + 8),
                              chunk=args.chunk)
 
-    # warmup compile
+    # warmup compile — the pool must EXCEED the lane count so the
+    # refill splice path (make_lane_state + splice_lane) compiles here,
+    # not inside the timed run
     t0 = time.perf_counter()
-    run_refill_group(engine, runner, specs[:b])
+    run_refill_group(engine, runner, specs[:b] + specs[-2:])
     print(f"refill: compile+warmup {time.perf_counter() - t0:.1f}s",
           flush=True)
 
     total_frames = sum(len(s["canvas"]) for s in specs)
 
-    t0 = time.perf_counter()
-    run_refill_group(engine, runner, specs)
-    dt_refill = time.perf_counter() - t0
+    dt_refill = None
+    for r in range(2):  # best-of-2: first pass absorbs any stragglers
+        t0 = time.perf_counter()
+        run_refill_group(engine, runner, specs)
+        dt = time.perf_counter() - t0
+        dt_refill = dt if dt_refill is None else min(dt_refill, dt)
     print(f"refill: {total_frames} frames in {dt_refill:.2f}s -> "
           f"{total_frames / dt_refill:.1f} fps aggregate", flush=True)
 
     # fixed padded groups, insertion order (the old track_dataset path)
-    t0 = time.perf_counter()
-    for i in range(0, len(specs), b):
-        group = specs[i:i + b]
-        gb = len(group)
-        geng = BatchScanEngine(model, variables, p, canvas_h=h,
-                               canvas_w=w, batch=gb,
-                               max_frames=max(256, long_n + 8),
-                               chunk=args.chunk) if gb != b else engine
-        vids = [(s["canvas"][0], s["init_pos"], s["init_sz"])
-                for s in group]
-        state = geng.init_batch(vids, runner)
-        max_n = max(len(s["canvas"]) for s in group) - 1
-        bf = np.zeros((gb, max_n, h, w, 3), np.uint8)
-        nv = []
-        for vi, s in enumerate(group):
-            bf[vi, :len(s["canvas"]) - 1] = s["canvas"][1:]
-            nv.append(len(s["canvas"]) - 1)
-        geng.track_batch(state, bf, n_valid=np.asarray(nv))
-    dt_padded = time.perf_counter() - t0
+    if len(specs) % b:
+        print(f"warning: {len(specs)} videos not divisible by batch {b}; "
+              "the padded path will recompile for the ragged tail group",
+              flush=True)
+    dt_padded = None
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(0, len(specs), b):
+            group = specs[i:i + b]
+            gb = len(group)
+            geng = BatchScanEngine(model, variables, p, canvas_h=h,
+                                   canvas_w=w, batch=gb,
+                                   max_frames=max(256, long_n + 8),
+                                   chunk=args.chunk) if gb != b else engine
+            vids = [(s["canvas"][0], s["init_pos"], s["init_sz"])
+                    for s in group]
+            state = geng.init_batch(vids, runner)
+            max_n = max(len(s["canvas"]) for s in group) - 1
+            bf = np.zeros((gb, max_n, h, w, 3), np.uint8)
+            nv = []
+            for vi, s in enumerate(group):
+                bf[vi, :len(s["canvas"]) - 1] = s["canvas"][1:]
+                nv.append(len(s["canvas"]) - 1)
+            geng.track_batch(state, bf, n_valid=np.asarray(nv))
+        dt = time.perf_counter() - t0
+        dt_padded = dt if dt_padded is None else min(dt_padded, dt)
     print(f"padded: {total_frames} frames in {dt_padded:.2f}s -> "
           f"{total_frames / dt_padded:.1f} fps aggregate", flush=True)
     print(f"refill speedup on 10:1 skew: {dt_padded / dt_refill:.2f}x",
@@ -216,6 +239,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--failures", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--videos", type=int, default=24,
+                    help="refill: total videos in the pool")
+    ap.add_argument("--longs", type=int, default=2,
+                    help="refill: how many videos are full-length")
     args = ap.parse_args()
     if args.vot:
         bench_vot(args)

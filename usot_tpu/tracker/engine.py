@@ -1114,6 +1114,112 @@ class BatchScanEngine(ScanEngine):
             zf_enc, feat_enc)
         return state
 
+    def make_lane_states(self, videos, runner):
+        """Batched `make_lane_state` for K <= B fresh videos: host crops
+        per video, then ONE set of lockstep-group-shaped model passes
+        (padded to the engine batch so no new program shape compiles)
+        instead of ~5 B=1 dispatches per video. Built for lane refill,
+        where several lanes finish at the same chunk boundary and every
+        dispatch costs a host-link round trip. Numerics are the batched
+        init path's (same as init_batch), not the B=1 path's — VOT
+        restarts keep `make_lane_state` for strict scan-path parity.
+
+        Returns a stacked lane-state dict for `splice_lanes`."""
+        B, K = self.batch, len(videos)
+        assert 1 <= K <= B
+        hosts = [self._init_host(im, pos, sz) for im, pos, sz in videos]
+        hws = [[im.shape[0], im.shape[1]] for im, _, _ in videos]
+        hosts += [hosts[0]] * (B - K)
+        hws += [hws[0]] * (B - K)
+
+        z = np.stack([h["z_crop"] for h in hosts])
+        tb = np.stack([h["tb"] for h in hosts])
+        zf_enc = runner.encode_template(runner.template_batch(z, tb))
+        xs = np.stack([h[k] for h in hosts for k in ("x_crop", "x_aug")])
+        sbs = np.stack([h[k] for h in hosts for k in ("sb0", "sb1")])
+        feat_enc = runner.encode_memory_kernels(
+            runner.extract_memory_feature_batch(xs, sbs))  # 3x (2B,h,w,C)
+        return dict(
+            k=K,
+            pos=np.stack([h["pos"] for h in hosts]).astype(np.float32),
+            sz=np.stack([h["sz"] for h in hosts]).astype(np.float32),
+            avg=np.stack([h["avg"] for h in hosts]).astype(np.float32),
+            im_hw=np.asarray(hws, np.float32),
+            zf_enc=zf_enc, feat_enc=feat_enc)
+
+    @property
+    def _splice_multi_fn(self):
+        """Jitted K-lane carry overwrite (one dispatch for a whole chunk
+        boundary's refills). Padding entries carry lane index == B,
+        which is out of bounds — XLA scatter's drop mode makes them
+        no-ops, so one compiled program serves every K."""
+        fn = getattr(self, "_splice_multi_jit", None)
+        if fn is None:
+            S = self.max_frames
+            B = self.batch
+
+            def splice(carry, avg_b, im_hw_b, lanes, pos, sz, avg, im_hw,
+                       zf_enc, feat_enc):
+                def put(arr, vals):
+                    return arr.at[lanes].set(vals.astype(arr.dtype),
+                                             mode="drop")
+
+                new = EngineState(
+                    pos=put(carry.pos, pos),
+                    sz=put(carry.sz, sz),
+                    zf_enc=jax.tree.map(
+                        lambda a, v: put(a, v[:, None]),
+                        carry.zf_enc, zf_enc),
+                    init_enc=tuple(
+                        put(a, jnp.stack([v[0::2], v[1::2]], axis=1))
+                        for a, v in zip(carry.init_enc, feat_enc)),
+                    # slot 0 <- unflipped bootstrap; rest left stale
+                    # (unreachable: queue picks match stored logical idx)
+                    mem_enc=tuple(
+                        r.at[lanes, 0].set(v[0::2].astype(r.dtype),
+                                           mode="drop")
+                        for r, v in zip(carry.mem_enc, feat_enc)),
+                    mem_conf=put(
+                        carry.mem_conf,
+                        jnp.zeros((B, S), jnp.float32).at[:, 0].set(0.9)),
+                    mem_idx=put(
+                        carry.mem_idx,
+                        jnp.full((B, S), -1, jnp.int32).at[:, 0].set(0)),
+                    mem_len=put(carry.mem_len,
+                                jnp.ones((B,), jnp.int32)),
+                )
+                return new, put(avg_b, avg), put(im_hw_b, im_hw)
+
+            kw = {}
+            if self.mesh is not None:
+                carry_sh = self._jit_shardings["in_shardings"][1]
+                kw = dict(out_shardings=(carry_sh, self._shard_b0,
+                                         self._shard_b0))
+            self._splice_multi_jit = jax.jit(splice,
+                                             donate_argnums=(0, 1, 2),
+                                             **kw)
+            fn = self._splice_multi_jit
+        return fn
+
+    def splice_lanes(self, state: EngineState, lanes,
+                     lane_states: dict) -> EngineState:
+        """Splice K fresh videos (from `make_lane_states`) into K lanes
+        of a batched carry in ONE jitted dispatch."""
+        B = self.batch
+        k = lane_states["k"]
+        assert len(lanes) == k
+        lanes_pad = np.full((B,), B, np.int32)  # OOB -> scatter drops
+        lanes_pad[:k] = lanes
+        state, self._avg_b, self._im_hw_b = self._splice_multi_fn(
+            state, self._avg_b, self._im_hw_b, jnp.asarray(lanes_pad),
+            jnp.asarray(lane_states["pos"]),
+            jnp.asarray(lane_states["sz"]),
+            jnp.asarray(lane_states["avg"]),
+            jnp.asarray(lane_states["im_hw"]),
+            jax.tree.map(jnp.asarray, lane_states["zf_enc"]),
+            tuple(jnp.asarray(f) for f in lane_states["feat_enc"]))
+        return state
+
     def stage_frames(self, frames_u8: np.ndarray, n_valid: np.ndarray):
         """Pre-upload every chunk of a (B, N, H, W, 3) frame tensor into
         device HBM (flat layout); returns an opaque list for

@@ -78,10 +78,32 @@ class VOTLaneResult:
         self.spill_from = None  # frame index to hand to the scan path
 
 
+def stage_vot_blocks(engine, canvases):
+    """Pre-upload every chunk's frame block for `run_vot_group` into HBM
+    and fence the uploads. Lanes are pinned to videos (absolute == local
+    frame index), so the blocks are restart-independent and a benchmark
+    can reuse them across repeated protocol runs — isolating chip
+    protocol throughput from host-link bandwidth (the staged-vs-streaming
+    methodology of bench.py; see PERF_NOTES.md)."""
+    import jax
+
+    chunk, ch, cw = engine.chunk, engine.im_h, engine.im_w
+    b = len(canvases)
+    n_frames = [len(c) for c in canvases]
+    staged = {}
+    for cs in range(1, max(n_frames), chunk):
+        block = _flat_block(canvases, list(range(b)), [cs] * b,
+                            n_frames, chunk, ch, cw)
+        staged[cs] = jax.device_put(block)
+    for blk in staged.values():  # true upload fence (see stage_frames)
+        np.asarray(blk[0, 0, 0, :1])
+    return staged
+
+
 def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
                   small_sz_thresh: float = 0.004,
                   small_sz: int = 0, big_sz: int = 0,
-                  stage: bool = False):
+                  stage: bool = False, staged_blocks: dict = None):
     """Track one lockstep group of VOT videos with the restart protocol.
 
     engine: BatchScanEngine with batch == len(canvases).
@@ -95,11 +117,11 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
     init; scripts/test_usot.py re-init loop).
 
     stage=True pre-uploads every chunk's frame block into HBM before the
-    protocol loop. Lanes are pinned to videos here (absolute == local
-    frame index), so the blocks are restart-independent and replays
-    reuse the staged block — this measures chip protocol throughput
-    rather than host-link bandwidth (same staged-vs-streaming
-    methodology as bench.py; see PERF_NOTES.md).
+    protocol loop (see `stage_vot_blocks`); `staged_blocks` passes in
+    blocks staged once by the caller so repeated runs don't re-upload.
+    Either way replays reuse the staged block — this measures chip
+    protocol throughput rather than host-link bandwidth (same
+    staged-vs-streaming methodology as bench.py; see PERF_NOTES.md).
 
     Returns list[VOTLaneResult]. Protocol semantics match the
     single-video scan path (cli/test.py track_video_scan) frame by
@@ -157,16 +179,10 @@ def run_vot_group(engine, runner, canvases, hws, gts, instance_size,
         resume[v] = r + 1
         return st, True
 
-    staged = {}
-    if stage:
-        import jax
-
-        for cs in range(1, max_n, chunk):
-            block = _flat_block(canvases, list(range(b)), [cs] * b,
-                                n_frames, chunk, ch, cw)
-            staged[cs] = jax.device_put(block)
-        for blk in staged.values():  # true upload fence (see stage_frames)
-            np.asarray(blk[0, 0, 0, :1])
+    staged = staged_blocks if staged_blocks is not None else {}
+    if stage and staged_blocks is None:
+        staged = stage_vot_blocks(engine, canvases)
+    stage = stage or staged_blocks is not None
 
     for cs in range(1, max_n, chunk):
         ce = min(cs + chunk, max_n)
@@ -313,7 +329,12 @@ def run_refill_group(engine, runner, videos, on_done: Callable = None):
         state, outs = engine.run_chunk(state, block, valid, donate=True)
         records.append((outs, snap))
 
-        # advance + refill at the boundary (host-only decisions)
+        # advance + refill at the boundary (host-only decisions). All
+        # lanes refilling at this boundary share ONE batched init pass
+        # and ONE fused splice dispatch (engine.make_lane_states /
+        # splice_lanes) — per-lane dispatches cost a host-link round
+        # trip each and dominated skewed-benchmark wall-clock.
+        refills = []
         for lane in range(b):
             v, f0, k = snap[lane]
             if v < 0:
@@ -321,14 +342,19 @@ def run_refill_group(engine, runner, videos, on_done: Callable = None):
             lane_next[lane] = f0 + k
             if lane_next[lane] >= n_frames[v] and pending:
                 nv = pending.pop(0)
-                vid = videos[nv]
-                im0 = vid["canvas"][0][:vid["h"], :vid["w"]]
-                lane_st = engine.make_lane_state(
-                    im0, np.asarray(vid["init_pos"], float),
-                    np.asarray(vid["init_sz"], float), runner)
-                state = engine.splice_lane(state, lane, lane_st)
+                refills.append((lane, nv))
                 lane_vid[lane] = nv
                 lane_next[lane] = 1
+        if refills:
+            vids = []
+            for _, nv in refills:
+                vid = videos[nv]
+                im0 = vid["canvas"][0][:vid["h"], :vid["w"]]
+                vids.append((im0, np.asarray(vid["init_pos"], float),
+                             np.asarray(vid["init_sz"], float)))
+            lane_sts = engine.make_lane_states(vids, runner)
+            state = engine.splice_lanes(
+                state, [lane for lane, _ in refills], lane_sts)
 
     # --- collate (single D2H sweep at the end)
     out_pos = {v: np.zeros((n_frames[v] - 1, 2), np.float64)
