@@ -74,7 +74,17 @@ def main():
     log("bench: building model")
     model = build_usot(mem_size=4,
                        dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
-                       fused_xcorr=jax.default_backend() == "tpu")
+                       fused_xcorr=jax.default_backend() == "tpu",
+                       # exact space-to-batch rewrite of layer3's
+                       # dilated convs: isolated backbone+neck 7.69 ->
+                       # 7.49 ms at B=32 (tools/ab_backbone_s2b.py,
+                       # bit-identical output) but measured NEGATIVE on
+                       # the full step (1952.7 -> 1846.6 fps staged
+                       # median) — the reshape/transpose phases break
+                       # XLA's fusion with the downstream neck crop.
+                       # Off by default; BENCH_S2B=1 to re-measure.
+                       s2b_dilated=os.environ.get("BENCH_S2B") == "1"
+                       and jax.default_backend() == "tpu")
     ckpt = os.environ.get("BENCH_CKPT")
     if ckpt and os.path.exists(ckpt):
         from usot_tpu.train.checkpoint import load_variables
@@ -130,14 +140,29 @@ def main():
     n_rest = rest.shape[1]
 
     # --- streaming figure (tunnel-included), one pass ---
-    roi = int(os.environ.get("BENCH_ROI", "0"))
+    # Default: ROI streaming with an auto-sized window and a short
+    # dispatch chunk. Full frames through this dev tunnel (~25 MB/s,
+    # high variance) cap ANY engine at ~25 fps aggregate; uploading only
+    # the exactness-checked ROI around each target is the structural fix
+    # (PERF_NOTES.md "ROI streaming"). BENCH_ROI=0 forces full frames,
+    # an integer forces that window size.
+    roi_env = os.environ.get("BENCH_ROI", "auto")
+    stream_chunk = int(os.environ.get("BENCH_STREAM_CHUNK", "16"))
+    roi = engine.suggest_roi(state, chunk=stream_chunk) \
+        if roi_env == "auto" else int(roi_env)
+    if roi and roi < min(frames[0].shape[:2]):
+        t_c = time.perf_counter()
+        engine.warm_roi(state, roi, chunk=stream_chunk)
+        log(f"bench: ROI chunk program ready in "
+            f"{time.perf_counter() - t_c:.1f}s")
     t0 = time.perf_counter()
-    if roi:
+    if roi and roi < min(frames[0].shape[:2]):
         state, pos, _, _ = engine.track_batch_roi(
-            state, rest, n_valid=np.full(batch, n_rest), roi=roi)
+            state, rest, n_valid=np.full(batch, n_rest), roi=roi,
+            chunk=stream_chunk)
         stream_fps = batch * n_rest / (time.perf_counter() - t0)
-        log(f"bench: ROI-{roi} streaming (tunnel-included): "
-            f"{stream_fps:.1f} fps "
+        log(f"bench: ROI-{roi}/chunk-{stream_chunk} streaming "
+            f"(tunnel-included): {stream_fps:.1f} fps "
             f"({engine.roi_replays}/{engine.roi_chunks} chunks replayed)")
     else:
         state, pos, _, _ = engine.track_batch(

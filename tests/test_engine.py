@@ -572,6 +572,18 @@ class TestROIStreaming:
         np.testing.assert_allclose(pos_t, pos_f, atol=1e-5)
         assert batch.roi_replays == batch.roi_chunks
 
+        # streaming chunk != engine chunk: same trajectory, more
+        # dispatches (the scan length is traced from the input shape)
+        batch, st = make()
+        roi = batch.suggest_roi(st, chunk=2)
+        assert roi % 32 == 0 and roi > 0
+        batch.warm_roi(st, roi=min(H, W) - 8, chunk=2)
+        _, pos_c, sz_c, _ = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=min(H, W) - 8, chunk=2)
+        np.testing.assert_allclose(pos_c, pos_f, atol=1e-2)
+        np.testing.assert_allclose(sz_c, sz_f, atol=1e-2)
+        assert batch.roi_chunks == 4  # ceil(8 / 2)
+
 
 class TestMultiChipTracking:
     def test_mesh_sharded_matches_unsharded(self, setup):

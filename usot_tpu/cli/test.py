@@ -36,11 +36,16 @@ def parse_args(argv=None):
                              "scan: on-device lax.scan fast path; "
                              "batch: multiple videos in lockstep (non-VOT)")
     parser.add_argument("--chunk", default=32, type=int)
-    parser.add_argument("--roi", default=0, type=int,
+    parser.add_argument("--roi", default="0",
                         help="ROI streaming side length for the batch "
-                        "engine (0 = full frames); uploads only a window "
-                        "around each target with exactness replay — cuts "
-                        "H2D bytes ~3x on slow host links")
+                        "engine (0 = full frames, 'auto' = sized from "
+                        "the group's search windows); uploads only a "
+                        "window around each target with exactness replay "
+                        "— cuts H2D bytes ~3x+ on slow host links")
+    parser.add_argument("--roi-chunk", default=0, type=int,
+                        help="ROI dispatch granularity (0 = --chunk). "
+                        "Shorter chunks shrink the drift headroom the "
+                        "ROI must cover, hence bytes on the wire")
     parser.add_argument("--batch", default=8, type=int,
                         help="videos per lockstep group (engine=batch)")
     parser.add_argument("--refill", default=1, type=int,
@@ -420,7 +425,8 @@ def track_dataset_batched(model, variables, runner, dataset, args):
                     str(v + 1) if idx in (0, 1) else str(v)
                     for idx, v in enumerate(bbox)) + "\n")
 
-    if args.refill and not args.roi:  # ROI streaming rides the padded path
+    roi_on = args.roi == "auto" or int(args.roi) != 0
+    if args.refill and not roi_on:  # ROI streaming rides the padded path
         from usot_tpu.tracker.lockstep import run_refill_group
 
         for (ch, cw, instance), names in groups.items():
@@ -472,10 +478,13 @@ def track_dataset_batched(model, variables, runner, dataset, args):
                 batch_frames[vi, :canvas.shape[0] - 1] = canvas[1:]
 
             state = engine.init_batch(vids, runner)
-            if args.roi:
+            roi_chunk = args.roi_chunk or None
+            roi = engine.suggest_roi(state, chunk=roi_chunk) \
+                if args.roi == "auto" else int(args.roi)
+            if roi:
                 state, pos, sz, score = engine.track_batch_roi(
                     state, batch_frames, n_valid=np.asarray(n_valid),
-                    roi=args.roi)
+                    roi=roi, chunk=roi_chunk)
             else:
                 state, pos, sz, score = engine.track_batch(
                     state, batch_frames, n_valid=np.asarray(n_valid))
@@ -586,7 +595,11 @@ def main(argv=None):
                        # fused Pallas GroupDW: measured 24.3 -> 22.4
                        # ms/step at B=32 (PERF_NOTES.md); interpret-mode
                        # on CPU is test-only slow, so gate by backend
-                       fused_xcorr=jax.default_backend() == "tpu")
+                       fused_xcorr=jax.default_backend() == "tpu",
+                       # exact s2b rewrite of the dilated layer3 convs
+                       # (tools/ab_backbone_s2b.py: bit-identical, ~3%
+                       # backbone win on TPU)
+                       s2b_dilated=jax.default_backend() == "tpu")
     if args.resume and os.path.exists(args.resume):
         variables = load_variables(args.resume)
     else:

@@ -243,10 +243,13 @@ class ResNetPlus2(nn.Module):
             rest_pad, rest_dil = 1, 1
 
         x = first(x, bn_train)
+        # s2b only rewrites dilation-2 convs; don't request it for the
+        # dilation-1 stages (ConvBN warns on inapplicable requests).
+        s2b = self.s2b_dilated and rest_dil == 2
         for i in range(1, blocks):
             x = Bottleneck(
                 planes, conv2_padding=rest_pad, conv2_dilation=rest_dil,
-                dtype=self.dtype, name=f"{name}_{i}", s2b=self.s2b_dilated,
+                dtype=self.dtype, name=f"{name}_{i}", s2b=s2b,
             )(x, bn_train)
         return x
 

@@ -901,9 +901,39 @@ class BatchScanEngine(ScanEngine):
         y0 = np.round(pos[:, 1] - (s_x + 1.0) / 2.0)
         return x0, x0 + s_x, y0, y0 + s_x
 
+    def suggest_roi(self, state, chunk: int = None, drift: float = 2.0,
+                    margin: float = 2.0, align: int = 32) -> int:
+        """Pick an ROI size for track_batch_roi from the CURRENT batch
+        state: the crop-window span s_x (deterministic in target size)
+        plus headroom for the target drifting `drift` px/frame over one
+        dispatch chunk (the ROI origin is anchored at chunk start).
+        Larger targets or faster motion than the allowance just replay —
+        exactness never depends on this heuristic, only throughput."""
+        chunk = self.chunk if chunk is None else chunk
+        pos = np.asarray(state.pos, np.float64)
+        sz = np.asarray(state.sz, np.float64)
+        x0, x1, _, _ = self._crop_window(pos, sz)
+        s_x = float(np.max(x1 - x0))
+        need = s_x + 1 + 2 * (margin + drift * chunk)
+        return int(-(-need // align) * align)
+
+    def warm_roi(self, state, roi: int, chunk: int = None):
+        """Compile (or cache-load) the ROI chunk program outside any
+        timed region: dispatches one all-invalid dummy chunk through the
+        non-donating program track_batch_roi uses. The carry freezes on
+        invalid frames and the result is discarded, so `state` is
+        untouched."""
+        chunk = self.chunk if chunk is None else chunk
+        dummy = jnp.zeros((chunk, self.batch, roi, roi * 3), jnp.uint8)
+        novalid = jnp.zeros((chunk, self.batch), bool)
+        _, outs = self._chunk_fn_nodonate(
+            self.variables, state, dummy, novalid, self._avg_b,
+            self._im_hw_b, jnp.zeros((self.batch, 2), jnp.float32))
+        jax.block_until_ready(outs)
+
     def track_batch_roi(self, state, frames_u8: np.ndarray,
                         n_valid: np.ndarray, roi: int = 384,
-                        margin: float = 2.0):
+                        margin: float = 2.0, chunk: int = None):
         """track_batch with ROI streaming: per chunk, upload only a
         (roi x roi) window around each video's last known position
         instead of the full canvas — the structural fix for streamed
@@ -920,7 +950,15 @@ class BatchScanEngine(ScanEngine):
         center is expressed ROI-relative). Videos whose search window
         exceeds the ROI simply replay every chunk (choose a bigger roi,
         or track_batch).
+
+        chunk: dispatch granularity, default self.chunk. Streaming wants
+        SHORTER chunks than staged tracking: the ROI origin is anchored
+        at chunk start, so the drift headroom (hence roi, hence bytes on
+        the wire) grows linearly with chunk length. The scan length is
+        traced from the input shape, so a non-default chunk just
+        compiles one more chunk program (persistent-cached).
         """
+        chunk = self.chunk if chunk is None else chunk
         b, n = frames_u8.shape[:2]
         assert b == self.batch
         H, W = frames_u8.shape[2], frames_u8.shape[3]
@@ -933,13 +971,13 @@ class BatchScanEngine(ScanEngine):
         pending = []
         self.roi_replays = 0
         self.roi_chunks = 0
-        for i in range(0, n, self.chunk):
-            block = frames_u8[:, i:i + self.chunk]
+        for i in range(0, n, chunk):
+            block = frames_u8[:, i:i + chunk]
             nb = block.shape[1]
-            if nb < self.chunk:
-                pad = np.repeat(block[:, -1:], self.chunk - nb, axis=1)
+            if nb < chunk:
+                pad = np.repeat(block[:, -1:], chunk - nb, axis=1)
                 block = np.concatenate([block, pad], axis=1)
-            t_idx = np.arange(self.chunk)[:, None] + i
+            t_idx = np.arange(chunk)[:, None] + i
             valid = jnp.asarray(t_idx < n_valid[None, :])
 
             # ROI origin per video: centered on last pos, clamped inside
@@ -947,12 +985,12 @@ class BatchScanEngine(ScanEngine):
                          np.maximum(W - roi, 0))
             oy = np.clip(np.round(pos_h[:, 1] - roi / 2), 0,
                          np.maximum(H - roi, 0))
-            roi_block = np.empty((self.chunk, b, roi, roi * 3), np.uint8)
+            roi_block = np.empty((chunk, b, roi, roi * 3), np.uint8)
             for v in range(b):
                 xs, ys = int(ox[v]), int(oy[v])
                 roi_block[:, v] = block[v, :, ys:ys + roi,
                                         xs:xs + roi].reshape(
-                    self.chunk, roi, roi * 3)
+                    chunk, roi, roi * 3)
             origin = jnp.asarray(np.stack([ox, oy], -1), jnp.float32)
 
             # The ROI attempt must keep `state` alive for a possible
