@@ -558,16 +558,19 @@ class TestROIStreaming:
         batch, st = make()
         _, pos_r, sz_r, score_r = batch.track_batch_roi(
             st, fb, n_valid=nv, roi=min(H, W) - 8)
-        np.testing.assert_allclose(pos_r, pos_f, atol=1e-2)
-        np.testing.assert_allclose(sz_r, sz_f, atol=1e-2)
+        # pipelined dispatch anchors speculative chunks one chunk
+        # stale: a different (still valid) ROI origin shifts the
+        # ROI-relative f32 crop arithmetic ~1e-4 relative
+        np.testing.assert_allclose(pos_r, pos_f, atol=1e-2, rtol=2e-4)
+        np.testing.assert_allclose(sz_r, sz_f, atol=1e-2, rtol=2e-4)
         assert batch.roi_replays == 0, \
             "covering ROI should not trigger replays"
 
-        # ROI too small for the search window: every chunk replays, and
-        # the result is still exact
+        # ROI too small for the search window, serial + no escalation:
+        # every chunk replays, and the result is still exact
         batch, st = make()
         _, pos_t, sz_t, _ = batch.track_batch_roi(
-            st, fb, n_valid=nv, roi=64)
+            st, fb, n_valid=nv, roi=64, pipeline=False, escalate=False)
         # all-replayed chunks ARE bit-identical (full-frame path)
         np.testing.assert_allclose(pos_t, pos_f, atol=1e-5)
         assert batch.roi_replays == batch.roi_chunks
@@ -580,9 +583,131 @@ class TestROIStreaming:
         batch.warm_roi(st, roi=min(H, W) - 8, chunk=2)
         _, pos_c, sz_c, _ = batch.track_batch_roi(
             st, fb, n_valid=nv, roi=min(H, W) - 8, chunk=2)
-        np.testing.assert_allclose(pos_c, pos_f, atol=1e-2)
-        np.testing.assert_allclose(sz_c, sz_f, atol=1e-2)
+        np.testing.assert_allclose(pos_c, pos_f, atol=1e-2, rtol=2e-4)
+        np.testing.assert_allclose(sz_c, sz_f, atol=1e-2, rtol=2e-4)
         assert batch.roi_chunks == 4  # ceil(8 / 2)
+
+    def test_roi_pipeline_matches_serial(self, setup):
+        """Speculative pipelined dispatch (depth 2) must produce the
+        same trajectories as the serial ROI loop up to ROI-origin f32
+        noise — the speculative chunk's origin is anchored one chunk
+        stale, which shifts the ROI-relative crop arithmetic ~1e-4
+        relative but never changes which chunks are accepted."""
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=13)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+
+        def make():
+            batch = BatchScanEngine(model, variables, p, canvas_h=H,
+                                    canvas_w=W, batch=2, max_frames=32,
+                                    chunk=3)
+            videos = [(frames[0], np.array(centers[0], float),
+                       np.array([48.0, 48.0]))] * 2
+            return batch, batch.init_batch(videos, runner)
+
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        nv = np.array([12, 12])
+        roi = min(H, W) - 8
+
+        batch, st = make()
+        _, pos_s, sz_s, sc_s = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=roi, pipeline=False)
+
+        batch, st = make()
+        _, pos_p, sz_p, sc_p = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=roi, pipeline=True)
+        np.testing.assert_allclose(pos_p, pos_s, atol=1e-2, rtol=2e-4)
+        np.testing.assert_allclose(sz_p, sz_s, atol=1e-2, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_s),
+                                   atol=5e-3)
+        assert batch.roi_replays == 0
+
+    def test_roi_escalation_converges(self, setup):
+        """A hopeless initial ROI escalates (64 -> ... -> full-frame
+        fallback) instead of replaying full frames forever, and the
+        trajectory stays exact (replays + full-frame tail are the
+        bit-identical full-frame program)."""
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=19)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+
+        def make():
+            batch = BatchScanEngine(model, variables, p, canvas_h=H,
+                                    canvas_w=W, batch=2, max_frames=32,
+                                    chunk=3)
+            videos = [(frames[0], np.array(centers[0], float),
+                       np.array([48.0, 48.0]))] * 2
+            return batch, batch.init_batch(videos, runner)
+
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        nv = np.array([18, 18])
+
+        batch, st = make()
+        _, pos_f, sz_f, sc_f = batch.track_batch(st, fb, n_valid=nv)
+
+        # search window is ~194 px for the 48-px target: the ladder
+        # climbs 96 -> 160 (still short) -> 224, which holds the window
+        # — from there chunks are accepted and replays stop
+        batch, st = make()
+        _, pos_e, sz_e, sc_e = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=96, escalate=True)
+        np.testing.assert_allclose(pos_e, pos_f, atol=1e-2)
+        np.testing.assert_allclose(sz_e, sz_f, atol=1e-2)
+        assert batch.roi_escalations >= 1
+        # 224 holds the window; a wilder trajectory may climb higher,
+        # but never stop short
+        assert batch.roi_final >= 224
+
+    def test_roi_escalation_full_frame_fallback(self, setup):
+        """A target whose clipped search window spans the whole canvas
+        can never be held by ANY sub-canvas ROI: escalation must hand
+        the rest of the run to full frames (bit-identical program)."""
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=13)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+
+        def make():
+            batch = BatchScanEngine(model, variables, p, canvas_h=H,
+                                    canvas_w=W, batch=2, max_frames=32,
+                                    chunk=3)
+            # a 180-px init box: s_x > canvas, so the (image-clipped)
+            # crop window spans the full frame every step
+            videos = [(frames[0], np.array(centers[0], float),
+                       np.array([180.0, 180.0]))] * 2
+            return batch, batch.init_batch(videos, runner)
+
+        fb = np.stack([np.stack(frames[1:])] * 2)
+        nv = np.array([12, 12])
+
+        batch, st = make()
+        _, pos_f, sz_f, _ = batch.track_batch(st, fb, n_valid=nv)
+
+        batch, st = make()
+        _, pos_e, sz_e, _ = batch.track_batch_roi(
+            st, fb, n_valid=nv, roi=160, escalate=True)
+        # every ROI attempt replayed (exact) + full-frame tail (exact)
+        np.testing.assert_allclose(pos_e, pos_f, atol=1e-5)
+        np.testing.assert_allclose(sz_e, sz_f, atol=1e-5)
+        assert batch.roi_final == min(H, W)
+        assert batch.roi_escalations >= 1
 
 
 class TestMultiChipTracking:

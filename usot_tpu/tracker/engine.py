@@ -931,9 +931,51 @@ class BatchScanEngine(ScanEngine):
             self._im_hw_b, jnp.zeros((self.batch, 2), jnp.float32))
         jax.block_until_ready(outs)
 
+    def _roi_slice(self, block, pos_h, roi):
+        """Slice a (B, chunk, H, W, 3) uint8 block to per-video
+        (chunk, B, roi, roi*3) windows centered on pos_h, clamped inside
+        the canvas. Returns (roi_block, ox, oy)."""
+        b = block.shape[0]
+        chunk = block.shape[1]
+        H, W = block.shape[2], block.shape[3]
+        ox = np.clip(np.round(pos_h[:, 0] - roi / 2), 0,
+                     np.maximum(W - roi, 0))
+        oy = np.clip(np.round(pos_h[:, 1] - roi / 2), 0,
+                     np.maximum(H - roi, 0))
+        roi_block = np.empty((chunk, b, roi, roi * 3), np.uint8)
+        for v in range(b):
+            xs, ys = int(ox[v]), int(oy[v])
+            roi_block[:, v] = block[v, :, ys:ys + roi,
+                                    xs:xs + roi].reshape(
+                chunk, roi, roi * 3)
+        return roi_block, ox, oy
+
+    def _roi_ok(self, pos_np, sz_np, pos_h, sz_h, ox, oy, roi, nb,
+                valid_np, margin):
+        """Exactness check for one returned chunk: frame t's crop window
+        comes from the state after frame t-1 (chunk-start state for t=0);
+        every window [+margin], clipped to the true image (outside-image
+        taps read avg either way), must sit inside [origin, origin+roi)."""
+        im_hw = np.asarray(self._im_hw_b)
+        prev_pos = np.concatenate([pos_h[None], pos_np[:nb - 1]])
+        prev_sz = np.concatenate([sz_h[None], sz_np[:nb - 1]])
+        for t in range(nb):
+            x0, x1, y0, y1 = self._crop_window(prev_pos[t], prev_sz[t])
+            rx0 = np.maximum(x0 - margin, 0)
+            rx1 = np.minimum(x1 + margin, im_hw[:, 1] - 1)
+            ry0 = np.maximum(y0 - margin, 0)
+            ry1 = np.minimum(y1 + margin, im_hw[:, 0] - 1)
+            inside = (rx0 >= ox) & (rx1 <= ox + roi - 1) \
+                & (ry0 >= oy) & (ry1 <= oy + roi - 1)
+            inside = inside | ~valid_np[t]  # finished videos: no req
+            if not inside.all():
+                return False
+        return True
+
     def track_batch_roi(self, state, frames_u8: np.ndarray,
                         n_valid: np.ndarray, roi: int = 384,
-                        margin: float = 2.0, chunk: int = None):
+                        margin: float = 2.0, chunk: int = None,
+                        pipeline: bool = True, escalate: bool = True):
         """track_batch with ROI streaming: per chunk, upload only a
         (roi x roi) window around each video's last known position
         instead of the full canvas — the structural fix for streamed
@@ -947,9 +989,26 @@ class BatchScanEngine(ScanEngine):
         violated chunk is REPLAYED from a saved carry with full frames.
         Accepted chunks read the same pixels as track_batch; outputs
         match up to f32 coordinate arithmetic (~1e-5 relative — the crop
-        center is expressed ROI-relative). Videos whose search window
-        exceeds the ROI simply replay every chunk (choose a bigger roi,
-        or track_batch).
+        center is expressed ROI-relative).
+
+        pipeline: dispatch the NEXT chunk speculatively before the host
+        has validated the current one. The speculative chunk's ROI is
+        anchored at the last pos the host actually knows (one chunk
+        stale), so its windows carry one extra chunk of drift — but its
+        carry input is the device-side output of the in-flight chunk, so
+        the device runs chunks back-to-back and the host's slice+upload
+        of chunk k+1 overlaps compute+download of chunk k, instead of
+        the link idling during every sync round-trip. Exactness is
+        untouched: the validity check runs on actual trajectories vs the
+        actual uploaded origins; a failed chunk discards the speculative
+        work and replays from the saved carry.
+
+        escalate: after 2 consecutive replays, grow the ROI ~1.4x
+        (align-rounded) — a mis-sized window (target grew, or erratic
+        motion) then converges to a working size instead of replaying
+        full frames forever. Escalating to >= the canvas hands the rest
+        of the run to track_batch. Each new size compiles one more chunk
+        program (persistent-cached across runs).
 
         chunk: dispatch granularity, default self.chunk. Streaming wants
         SHORTER chunks than staged tracking: the ROI origin is anchored
@@ -962,86 +1021,123 @@ class BatchScanEngine(ScanEngine):
         b, n = frames_u8.shape[:2]
         assert b == self.batch
         H, W = frames_u8.shape[2], frames_u8.shape[3]
+        self.roi_replays = 0
+        self.roi_chunks = 0
+        self.roi_escalations = 0
+        self.roi_final = roi
         if roi >= min(H, W):
             return self.track_batch(state, frames_u8, n_valid)
         zero_origin = jnp.zeros((b, 2), jnp.float32)
-        im_hw = np.asarray(self._im_hw_b)                 # (B, 2) [h, w]
         pos_h = np.asarray(state.pos, np.float64)         # sync snapshot
         sz_h = np.asarray(state.sz, np.float64)
-        pending = []
-        self.roi_replays = 0
-        self.roi_chunks = 0
-        for i in range(0, n, chunk):
+        pending = {}       # chunk index -> (nb, outs-like)
+        starts = list(range(0, n, chunk))
+
+        def prep(i):
             block = frames_u8[:, i:i + chunk]
             nb = block.shape[1]
             if nb < chunk:
                 pad = np.repeat(block[:, -1:], chunk - nb, axis=1)
                 block = np.concatenate([block, pad], axis=1)
             t_idx = np.arange(chunk)[:, None] + i
-            valid = jnp.asarray(t_idx < n_valid[None, :])
+            valid = np.asarray(t_idx < n_valid[None, :])
+            return block, nb, valid
 
-            # ROI origin per video: centered on last pos, clamped inside
-            ox = np.clip(np.round(pos_h[:, 0] - roi / 2), 0,
-                         np.maximum(W - roi, 0))
-            oy = np.clip(np.round(pos_h[:, 1] - roi / 2), 0,
-                         np.maximum(H - roi, 0))
-            roi_block = np.empty((chunk, b, roi, roi * 3), np.uint8)
-            for v in range(b):
-                xs, ys = int(ox[v]), int(oy[v])
-                roi_block[:, v] = block[v, :, ys:ys + roi,
-                                        xs:xs + roi].reshape(
-                    chunk, roi, roi * 3)
+        def replay(rec):
+            """Full-frame replay of a failed chunk, consuming its saved
+            input carry through the donating program."""
+            block_tb = np.swapaxes(rec["block"], 0, 1)
+            block_tb = np.reshape(np.ascontiguousarray(block_tb),
+                                  block_tb.shape[:3] + (-1,))
+            st, outs = self._chunk_fn(
+                self.variables, rec["state_in"], jnp.asarray(block_tb),
+                jnp.asarray(rec["valid"]), self._avg_b, self._im_hw_b,
+                zero_origin)
+            pos_np, sz_np = [np.asarray(a, np.float64)
+                             for a in jax.device_get((outs[0], outs[1]))]
+            return st, (pos_np, sz_np, outs[2])
+
+        # The ROI attempt must keep its input carry alive for a possible
+        # replay. Rather than deep-copying the carry every chunk (the
+        # memory ring alone is GB-scale at B=32), dispatch through a
+        # non-donating compilation of the same chunk fn: identical peak
+        # memory (input + output carry coexist either way), zero copy
+        # traffic. The replay then consumes the saved carry through the
+        # donating fn.
+        def dispatch(j, anchor_pos, state_in, cur_roi):
+            block, nb, valid = prep(starts[j])
+            roi_block, ox, oy = self._roi_slice(block, anchor_pos,
+                                                cur_roi)
             origin = jnp.asarray(np.stack([ox, oy], -1), jnp.float32)
-
-            # The ROI attempt must keep `state` alive for a possible
-            # replay. Rather than deep-copying the carry every chunk
-            # (the memory ring alone is ~GB-scale at B=32), use a
-            # non-donating compilation of the same chunk fn: identical
-            # peak memory (input + output carry coexist either way),
-            # zero copy traffic. The replay below then consumes `state`
-            # through the donating fn.
-            state2, outs = self._chunk_fn_nodonate(
-                self.variables, state, jnp.asarray(roi_block), valid,
-                self._avg_b, self._im_hw_b, origin)
-            pos_np = np.asarray(outs[0], np.float64)      # (T, B, 2)
-            sz_np = np.asarray(outs[1], np.float64)
+            st, outs = self._chunk_fn_nodonate(
+                self.variables, state_in, jax.device_put(roi_block),
+                jnp.asarray(valid), self._avg_b, self._im_hw_b, origin)
             self.roi_chunks += 1
+            return dict(j=j, nb=nb, block=block, valid=valid, ox=ox,
+                        oy=oy, roi=cur_roi, state_in=state_in,
+                        state_out=st, outs=outs)
 
-            # validity: frame t's crop window comes from the state after
-            # frame t-1 (chunk-start state for t=0)
-            prev_pos = np.concatenate([pos_h[None], pos_np[:nb - 1]])
-            prev_sz = np.concatenate([sz_h[None], sz_np[:nb - 1]])
-            ok = True
-            valid_np = np.asarray(valid)
-            for t in range(nb):
-                x0, x1, y0, y1 = self._crop_window(prev_pos[t], prev_sz[t])
-                # clip the required span to the image: outside-image taps
-                # read avg either way
-                rx0 = np.maximum(x0 - margin, 0)
-                rx1 = np.minimum(x1 + margin, im_hw[:, 1] - 1)
-                ry0 = np.maximum(y0 - margin, 0)
-                ry1 = np.minimum(y1 + margin, im_hw[:, 0] - 1)
-                inside = (rx0 >= ox) & (rx1 <= ox + roi - 1) \
-                    & (ry0 >= oy) & (ry1 <= oy + roi - 1)
-                inside = inside | ~valid_np[t]  # finished videos: no req
-                if not inside.all():
-                    ok = False
-                    break
-            if not ok:
+        depth = 2 if pipeline else 1
+        inflight = []
+        j = 0              # next chunk index to dispatch
+        consec_replays = 0
+        while j < len(starts) or inflight:
+            while j < len(starts) and len(inflight) < depth:
+                # anchor: last host-known pos — exact for the first
+                # in-flight chunk, one chunk stale for the speculative
+                # one (the validity check covers the difference)
+                st_in = inflight[-1]["state_out"] if inflight else state
+                inflight.append(dispatch(j, pos_h, st_in, roi))
+                j += 1
+            rec = inflight.pop(0)
+            nb = rec["nb"]
+            pos_np, sz_np = [np.asarray(a, np.float64) for a in
+                             jax.device_get((rec["outs"][0],
+                                             rec["outs"][1]))]
+            if self._roi_ok(pos_np, sz_np, pos_h, sz_h, rec["ox"],
+                            rec["oy"], rec["roi"], nb, rec["valid"],
+                            margin):
+                state = rec["state_out"]
+                pending[rec["j"]] = (nb, (pos_np, sz_np, rec["outs"][2]))
+                consec_replays = 0
+            else:
+                # speculative successors read a wrong carry: discard
+                # them and rewind the dispatch cursor
+                j = rec["j"] + 1
+                inflight.clear()
                 self.roi_replays += 1
-                block_tb = np.swapaxes(block, 0, 1)
-                block_tb = np.reshape(np.ascontiguousarray(block_tb),
-                                      block_tb.shape[:3] + (-1,))
-                state2, outs = self._chunk_fn(
-                    self.variables, state, jnp.asarray(block_tb), valid,
-                    self._avg_b, self._im_hw_b, zero_origin)
-                pos_np = np.asarray(outs[0], np.float64)
-                sz_np = np.asarray(outs[1], np.float64)
-            state = state2
+                consec_replays += 1
+                state, outs_h = replay(rec)
+                pos_np, sz_np = outs_h[0], outs_h[1]
+                pending[rec["j"]] = (nb, outs_h)
+                if escalate and consec_replays >= 2:
+                    new_roi = int(-(-roi * 1.4 // 32) * 32)
+                    self.roi_escalations += 1
+                    # stay trigger-happy while replays keep coming: the
+                    # next consecutive replay escalates again
+                    consec_replays = 1
+                    if new_roi >= min(H, W):
+                        # hand the rest of the run to full frames
+                        self.roi_final = min(H, W)
+                        i_rest = starts[j] if j < len(starts) else n
+                        if i_rest < n:
+                            nv = np.clip(n_valid - i_rest, 0,
+                                         n - i_rest)
+                            state, p2, s2, c2 = self.track_batch(
+                                state, frames_u8[:, i_rest:], nv)
+                            done = [pending[k] for k in sorted(pending)]
+                            pos, sz, sc = self._collate(done)
+                            return (state,
+                                    np.concatenate([pos, p2], axis=1),
+                                    np.concatenate([sz, s2], axis=1),
+                                    np.concatenate([sc, c2], axis=1))
+                        break
+                    roi = new_roi
+                    self.roi_final = roi
             pos_h = pos_np[nb - 1]
             sz_h = sz_np[nb - 1]
-            pending.append((nb, outs))
-        return (state,) + self._collate(pending)
+        done = [pending[k] for k in sorted(pending)]
+        return (state,) + self._collate(done)
 
     # ---- lane surgery (VOT restart protocol + lane refill) ----
 
