@@ -27,7 +27,8 @@ import pytest
 # Modules whose tests compile full USOT models (multi-minute on this
 # 1-core host). `pytest -m "not slow"` gives a quick logic/parity suite.
 _SLOW_MODULES = {
-    "test_engine", "test_train", "test_train_cli", "test_integration",
+    "test_engine", "test_train", "test_train_cli", "test_train_schedule",
+    "test_integration",
     "test_torch_parity", "test_reference_parity", "test_tracker",
     "test_model", "test_convert", "test_onekey_pipeline", "test_lockstep",
 }

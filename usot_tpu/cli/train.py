@@ -21,7 +21,8 @@ from usot_tpu.data.dataset import USOTDataset
 from usot_tpu.data.loader import DataLoader
 from usot_tpu.models.usot import build_usot, init_variables
 from usot_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
-from usot_tpu.train.checkpoint import (restore_checkpoint, save_model_epoch)
+from usot_tpu.train.checkpoint import (peek_epoch, restore_checkpoint,
+                                       save_model_epoch)
 from usot_tpu.train.optim import build_optimizer
 from usot_tpu.train.schedulers import build_lr_spaces
 from usot_tpu.train.step import TrainState, epoch_weights, make_train_step
@@ -52,6 +53,17 @@ def parse_args(argv=None):
                         help="rematerialize the forward in backprop "
                         "(jax.checkpoint): ~half peak activation HBM "
                         "for one extra forward pass")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint_eN.ckpt to resume from "
+                        "(continues at epoch N+1; overrides TRAIN.RESUME)")
+    parser.add_argument("--stop-after-epoch", type=int, default=None,
+                        help="stop (cleanly) after this epoch completes, "
+                        "WITHOUT altering the schedule: unlike lowering "
+                        "END_EPOCH, the LR decay / lambda / cls_ratio "
+                        "spaces stay built for the full run, so a later "
+                        "--resume continues the same trajectory "
+                        "(maintenance-window stop; also how the "
+                        "interrupt/resume tests emulate a kill)")
     return parser.parse_args(argv)
 
 
@@ -101,17 +113,40 @@ def main(argv=None):
                                 tuple(tc.TRAINABLE_LAYER))
         return tx, TrainState(params, batch_stats, tx.init(params))
 
+    resume_path = args.resume or (
+        tc.RESUME if isinstance(tc.RESUME, str) else None)
+    if resume_path and not os.path.exists(resume_path):
+        raise FileNotFoundError(f"--resume checkpoint {resume_path}")
+
     start_epoch = tc.START_EPOCH
+    if resume_path:
+        # The optimizer pytree changes structure at UNFIX_EPOCH (frozen
+        # leaves become momentum buffers), so the restore target must be
+        # built for the CHECKPOINT's stage, not START_EPOCH's.
+        start_epoch = peek_epoch(resume_path) + 1
     tx, state = build_state(variables["params"], variables["batch_stats"],
                             start_epoch)
-    if tc.RESUME and isinstance(tc.RESUME, str) and os.path.exists(tc.RESUME):
-        state, start_epoch = restore_checkpoint(tc.RESUME, state)
-        start_epoch += 1
-        logger.info("resumed from %s at epoch %d", tc.RESUME, start_epoch)
+    if resume_path:
+        state, _ = restore_checkpoint(resume_path, state)
+        logger.info("resumed from %s at epoch %d", resume_path, start_epoch)
 
     state = replicate_tree(mesh, state)
 
+    # Machine-readable per-epoch record (losses, schedule state, timing),
+    # rewritten after every epoch so a killed run leaves a usable partial
+    # record for resume verification (see tools/train_full_schedule.py).
+    record = {"resumed_from": resume_path, "start_epoch": int(start_epoch),
+              "end_epoch": int(tc.END_EPOCH), "epochs": {}}
+    record_path = os.path.join(cfg.OUTPUT_DIR, "train_record.json")
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+
     global_step = 0
+    # The step program is static in (phase, bn stage, lambda_1); memoize so
+    # the 30-epoch schedule compiles each distinct program once instead of
+    # re-tracing every epoch (the final log-decay segment alone spans 20+
+    # epochs of one identical program). The cache keys include the unfix
+    # flag, which is also exactly when tx is rebuilt.
+    step_cache: dict = {}
     for epoch in range(start_epoch, tc.END_EPOCH + 1):
         cycle_memory = epoch >= tc.MEMORY_EPOCH
         if epoch == tc.UNFIX_EPOCH:
@@ -122,11 +157,16 @@ def main(argv=None):
             state = replicate_tree(mesh, new_state)
 
         lambda_1, lambda_total, cls_ratio = epoch_weights(tc, epoch)
-        step_fn = make_train_step(
-            model, tx, cycle_memory=cycle_memory,
-            stage_bn_train=epoch >= tc.UNFIX_EPOCH, lambda_1=lambda_1,
-            lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE,
-            remat=args.remat, accum_steps=args.accum)
+        unfix = epoch >= tc.UNFIX_EPOCH
+        step_key = (cycle_memory, unfix, float(lambda_1))
+        step_fn = step_cache.get(step_key)
+        if step_fn is None:
+            step_fn = make_train_step(
+                model, tx, cycle_memory=cycle_memory,
+                stage_bn_train=unfix, lambda_1=lambda_1,
+                lambda_total=lambda_total, lambda_1_naive=tc.LAMBDA_1_NAIVE,
+                remat=args.remat, accum_steps=args.accum)
+            step_cache[step_key] = step_fn
 
         batch_size = (tc.BATCH_STAGE_2 if cycle_memory else tc.BATCH) * n_dev
         loader = None
@@ -154,6 +194,8 @@ def main(argv=None):
 
         batch_time = AverageMeter()
         losses = AverageMeter()
+        iter_losses = []
+        epoch_t0 = time.time()
         end = time.time()
         from usot_tpu.data.shards import device_prefetch
         batches = device_prefetch(loader,
@@ -162,6 +204,7 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, jnp.float32(lr),
                                      jnp.float32(cls_ratio))
             loss = float(metrics["loss"])
+            iter_losses.append(round(loss, 6))
             losses.update(loss, batch_size)
             batch_time.update(time.time() - end)
             end = time.time()
@@ -185,6 +228,25 @@ def main(argv=None):
         path = save_model_epoch(cfg.CHECKPOINT_DIR, host_state, epoch)
         if path:
             logger.info("saved %s", path)
+
+        record["epochs"][str(epoch)] = {
+            "lr": lr, "cycle_memory": bool(cycle_memory),
+            "unfix": bool(epoch >= tc.UNFIX_EPOCH),
+            "lambda_1": float(lambda_1), "cls_ratio": float(cls_ratio),
+            "batch": int(batch_size), "n_iters": len(iter_losses),
+            "loss_avg": round(losses.avg, 6), "losses": iter_losses,
+            "seconds": round(time.time() - epoch_t0, 3),
+            "checkpoint": path,
+        }
+        import json as _json
+        with open(record_path, "w") as f:
+            _json.dump(record, f, indent=1)
+
+        if args.stop_after_epoch is not None and \
+                epoch >= args.stop_after_epoch:
+            logger.info("stopping after epoch %d (--stop-after-epoch)",
+                        epoch)
+            break
 
     if writer is not None:
         writer.close()

@@ -39,6 +39,17 @@ def save_model_epoch(directory: str, state, epoch: int,
     return save_checkpoint(directory, state, epoch, arch)
 
 
+def peek_epoch(path: str) -> int:
+    """Read only the epoch tag of a checkpoint. Used by the resume path
+    to rebuild the optimizer with the right freeze stage BEFORE
+    deserializing the full state (the opt_state pytree structure differs
+    across the UNFIX_EPOCH boundary: frozen params carry MaskedNode,
+    unfrozen ones carry momentum buffers)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return int(serialization.msgpack_restore(data)["epoch"])
+
+
 def restore_checkpoint(path: str, target_state) -> tuple[Any, int]:
     """Restore into the structure of target_state; returns (state, epoch)."""
     with open(path, "rb") as f:
