@@ -122,3 +122,33 @@ def test_conv_layout_torch_vs_flax(rng):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref, atol=1e-4)
+
+
+def test_invert_roundtrips_exactly():
+    """invert_usot_checkpoint is the exact inverse of
+    convert_usot_checkpoint: flax -> torch layout -> flax is bit-equal
+    on every leaf (the committed trained fixture exercises every scope
+    incl. downsamples and the adjust/bias reshapes)."""
+    import os
+
+    import jax
+    from flax import serialization
+
+    from usot_tpu.models.convert import (convert_usot_checkpoint,
+                                         invert_usot_checkpoint)
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "tiny_usot_w8c32.msgpack")
+    with open(fixture, "rb") as f:
+        fx = serialization.msgpack_restore(f.read())
+    variables = {"params": fx["params"], "batch_stats": fx["batch_stats"]}
+
+    back = convert_usot_checkpoint(invert_usot_checkpoint(variables))
+    for coll in ("params", "batch_stats"):
+        a = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        b = jax.tree_util.tree_flatten_with_path(back[coll])[0]
+        assert len(a) == len(b)
+        for (pa, va), (pb, vb) in zip(a, b):
+            assert pa == pb
+            va, vb = np.asarray(va), np.asarray(vb)
+            assert va.shape == vb.shape and np.array_equal(va, vb), pa

@@ -18,6 +18,7 @@ crop geometry, queue sampling, penalties, EMA — to the reference itself,
 the strongest parity anchor available without the published checkpoints
 (VERDICT r3 missing #2 / next #3).
 """
+import os
 import sys
 import types
 from types import SimpleNamespace
@@ -36,6 +37,8 @@ from usot_tpu.tracker.tracker import USOTTracker
 from test_tracker import synthetic_video
 
 REF = "/root/reference"
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "tiny_usot_w8c32.msgpack")
 
 
 # ---------------------------------------------------------------------
@@ -315,3 +318,111 @@ class TestReferenceTrackerEndToEnd:
         _, pos, sz, score = engine.track_frames(est, np.stack(frames[1:]))
         assert np.all(np.isfinite(pos)) and np.all(np.isfinite(sz))
         assert np.all(sz >= 10)
+
+
+@pytest.fixture(scope="module")
+def tiny_ref(ref_env):
+    """The reference net at the committed TRAINED fixture's tiny geometry
+    (width 8, channels 32), built with the reference's OWN constructors —
+    ResNet_plus2._make_layer re-invoked at width 8 (so the 1x1-vs-3x3
+    downsample rules and the first-block dilation quirk are the
+    reference's own, modules.py:103-135), AdjustLayer / box_tower_reg at
+    32 channels (connect.py) — and loaded with OUR trained weights
+    through the inverse converter (models/convert.invert_usot_checkpoint).
+    Returns (ref net, our model, flax variables): same trained weights on
+    both sides, so response maps are PEAKED and full-clip sub-pixel
+    agreement is demanded (retires the random-weight n_agree>=5 floor)."""
+    import torch.nn as nn
+    from flax import serialization
+
+    from lib.models.backbones import ResNet50
+    from lib.models.connect import AdjustLayer, box_tower_reg
+    from lib.models.modules import Bottleneck
+
+    from usot_tpu.models.convert import invert_usot_checkpoint
+
+    ref_models = ref_env
+    with open(FIXTURE, "rb") as f:
+        fx = serialization.msgpack_restore(f.read())
+    w, c = int(fx["width"]), int(fx["channels"])
+    mem = int(fx["mem_size"])
+    variables = {"params": fx["params"], "batch_stats": fx["batch_stats"]}
+
+    net = ref_models.USOT(settings={"mem_size": mem, "pr_pool": True})
+    feat = ResNet50(used_layers=[3])
+    rp = feat.features
+    rp.inplanes = w
+    rp.conv1 = nn.Conv2d(3, w, kernel_size=7, stride=2, padding=0,
+                         bias=False)
+    rp.bn1 = nn.BatchNorm2d(w)
+    rp.layer1 = rp._make_layer(Bottleneck, w, 3)
+    rp.layer2 = rp._make_layer(Bottleneck, 2 * w, 4, stride=2)
+    rp.layer3 = rp._make_layer(Bottleneck, 4 * w, 6, stride=1, dilation=2)
+    net.features = feat
+    net.neck = AdjustLayer(in_channels=4 * w * Bottleneck.expansion,
+                           out_channels=c, pr_pool=True)
+    net.connect_model = box_tower_reg(in_channels=c, out_channels=c,
+                                      tower_num=4)
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in invert_usot_checkpoint(variables).items()}
+    res = net.load_state_dict(sd, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys
+    assert all(k.endswith("num_batches_tracked") for k in
+               res.missing_keys), res.missing_keys
+    net.eval()
+
+    model = build_usot(mem_size=mem, width=w, channels=c)
+    return net, model, jax.tree.map(jnp.asarray, variables)
+
+
+class TestTrainedReferenceParity:
+    """The trained-weights anchor: the ACTUAL reference loop vs our host
+    parity tracker, both driven by the committed TRAINED tiny fixture.
+    Peaked responses remove the argmax near-ties that forced the
+    random-weight test's soft n_agree floor — here the FULL clip must
+    agree to sub-pixel."""
+
+    def _run_both(self, tiny_ref, n_frames=12):
+        from lib.tracker.usot_tracker import USOTTracker as RefTracker
+
+        ref_net, model, variables = tiny_ref
+        frames, centers = synthetic_video(n_frames=n_frames)
+        init_pos = np.array(centers[0], np.float64)
+        init_sz = np.array([48.0, 48.0])
+
+        ref_tracker = RefTracker(SimpleNamespace(arch="USOT"))
+        ref_pos, ref_sz = [], []
+        with torch.no_grad():
+            st_r = ref_tracker.init(frames[0], init_pos.copy(),
+                                    init_sz.copy(), ref_net)
+            for im in frames[1:]:
+                st_r = ref_tracker.track(st_r, im)
+                ref_pos.append(np.array(st_r["target_pos"], np.float64))
+                ref_sz.append(np.array(st_r["target_sz"], np.float64))
+
+        runner = ModelRunner(model, variables)
+        ours = USOTTracker()
+        st_o = ours.init(frames[0], init_pos.copy(), init_sz.copy(),
+                         runner)
+        our_pos, our_sz = [], []
+        for im in frames[1:]:
+            st_o = ours.track(st_o, im)
+            our_pos.append(np.array(st_o["target_pos"], np.float64))
+            our_sz.append(np.array(st_o["target_sz"], np.float64))
+        return (np.stack(ref_pos), np.stack(ref_sz), st_r,
+                np.stack(our_pos), np.stack(our_sz), st_o)
+
+    def test_full_clip_subpixel(self, ref_env, tiny_ref):
+        ref_pos, ref_sz, _, our_pos, our_sz, _ = self._run_both(tiny_ref)
+        err = np.linalg.norm(our_pos - ref_pos, axis=1)
+        assert err.shape[0] == 11
+        assert np.all(err <= 0.5), f"center err per frame: {err}"
+        np.testing.assert_allclose(our_sz, ref_sz, atol=0.5)
+
+    def test_memory_confidences_tight(self, ref_env, tiny_ref):
+        _, _, st_r, _, _, st_o = self._run_both(tiny_ref, n_frames=9)
+        conf_r = np.asarray(st_r["memory_confidences"], np.float64)
+        conf_o = np.asarray(st_o["memory_confidences"], np.float64)
+        assert conf_r.shape == conf_o.shape
+        np.testing.assert_allclose(conf_o, conf_r, atol=1e-5)

@@ -154,6 +154,106 @@ def convert_usot_checkpoint(sd: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": stats}
 
 
+def _get(tree, path: list) -> np.ndarray:
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _iconv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _inv_convbn(sd, params, stats, conv_key, bn_key, flax_path):
+    sd[conv_key] = _iconv(_get(params, flax_path + ["conv", "kernel"]))
+    sd[bn_key + ".weight"] = _get(params, flax_path + ["bn", "scale"])
+    sd[bn_key + ".bias"] = _get(params, flax_path + ["bn", "bias"])
+    sd[bn_key + ".running_mean"] = _get(stats, flax_path + ["bn", "mean"])
+    sd[bn_key + ".running_var"] = _get(stats, flax_path + ["bn", "var"])
+
+
+def invert_usot_checkpoint(variables) -> Dict[str, np.ndarray]:
+    """flax variables -> reference torch state_dict layout: the exact
+    inverse of convert_usot_checkpoint (key names from
+    lib/models/models.py / connect.py / modules.py). Lets OUR trained
+    weights drive the ACTUAL reference tracker loop
+    (tests/test_reference_tracker_e2e.py), closing the parity anchor in
+    the direction the forward converter can't. Returns numpy arrays;
+    `num_batches_tracked` entries are omitted (load with strict=False —
+    they don't affect eval-mode BN)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    pre = "features.features."
+    _inv_convbn(sd, params, stats, pre + "conv1.weight", pre + "bn1",
+                ["features", "stem"])
+    for layer, blocks in _LAYER_BLOCKS.items():
+        for i in range(blocks):
+            tb = f"{pre}{layer}.{i}."
+            fp = ["features", f"{layer}_{i}"]
+            for j in (1, 2, 3):
+                _inv_convbn(sd, params, stats, tb + f"conv{j}.weight",
+                            tb + f"bn{j}", fp + [f"cb{j}"])
+            if "downsample" in params["features"][f"{layer}_{i}"]:
+                _inv_convbn(sd, params, stats,
+                            tb + "downsample.0.weight",
+                            tb + "downsample.1", fp + ["downsample"])
+
+    _inv_convbn(sd, params, stats, "neck.downsample.0.weight",
+                "neck.downsample.1", ["neck"])
+
+    cm = "connect_model"
+    for enc in ("cls_encode", "reg_encode"):
+        for side in ("k", "s"):
+            for t_name, f_name in (("matrix11", "m11"),
+                                   ("matrix12", "m12"),
+                                   ("matrix21", "m21")):
+                tb = f"{cm}.{enc}.{t_name}_{side}."
+                _inv_convbn(sd, params, stats, tb + "0.weight", tb + "1",
+                            ["connect", f"{enc}_{side}", f_name])
+
+    sd[f"{cm}.cls_dw.weight"] = _get(params, ["connect", "cls_dw",
+                                              "weight"])
+    sd[f"{cm}.reg_dw.weight"] = _get(params, ["connect", "reg_dw",
+                                              "weight"])
+
+    for gen in ("conf_gen", "value_gen"):
+        tb = f"{cm}.conf_fusion.{gen}."
+        fp = ["connect", "conf_fusion", gen]
+        sd[tb + "0.weight"] = _iconv(_get(params, fp + ["conv", "kernel"]))
+        sd[tb + "0.bias"] = _get(params, fp + ["conv", "bias"])
+        sd[tb + "1.weight"] = _get(params, fp + ["bn", "scale"])
+        sd[tb + "1.bias"] = _get(params, fp + ["bn", "bias"])
+        sd[tb + "1.running_mean"] = _get(stats, fp + ["bn", "mean"])
+        sd[tb + "1.running_var"] = _get(stats, fp + ["bn", "var"])
+
+    for tower in ("bbox_tower", "cls_tower", "cls_memory_tower"):
+        for i in range(4):
+            fp = ["connect", tower, f"block{i}"]
+            tb = f"{cm}.{tower}.{3 * i}"
+            sd[tb + ".weight"] = _iconv(_get(params, fp + ["conv",
+                                                           "kernel"]))
+            sd[tb + ".bias"] = _get(params, fp + ["conv", "bias"])
+            bn = f"{cm}.{tower}.{3 * i + 1}"
+            sd[bn + ".weight"] = _get(params, fp + ["bn", "scale"])
+            sd[bn + ".bias"] = _get(params, fp + ["bn", "bias"])
+            sd[bn + ".running_mean"] = _get(stats, fp + ["bn", "mean"])
+            sd[bn + ".running_var"] = _get(stats, fp + ["bn", "var"])
+
+    for head in ("bbox_pred", "cls_pred", "cls_memory_pred"):
+        sd[f"{cm}.{head}.weight"] = _iconv(_get(params, ["connect", head,
+                                                         "kernel"]))
+        sd[f"{cm}.{head}.bias"] = _get(params, ["connect", head, "bias"])
+
+    sd[f"{cm}.adjust"] = _get(params, ["connect", "adjust"]).reshape(1)
+    sd[f"{cm}.bias"] = _get(params, ["connect", "bias"]).transpose(
+        0, 3, 1, 2)  # (1,1,1,4) NHWC -> (1,4,1,1)
+
+    return sd
+
+
 def convert_backbone_pretrain(sd: Dict[str, np.ndarray], variables):
     """Backbone-only ImageNet / MoCo-v2 pretrain -> merged variables.
 
