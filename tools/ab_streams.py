@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--streams", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
 
     import jax
 
@@ -45,7 +47,9 @@ def main():
         for ns in args.streams:
             if mode == "seq-async" and ns == 1:
                 continue  # identical to threads/1
-            assert B % ns == 0
+            if B % ns != 0:
+                raise SystemExit(
+                    f"--streams {ns} must divide the lane count B={B}")
             shards = np.split(buf, ns, axis=0)
             pool = ThreadPoolExecutor(max_workers=ns) \
                 if mode == "threads" else None
@@ -55,7 +59,13 @@ def main():
                     return list(pool.map(jax.device_put, shards))
                 return [jax.device_put(s) for s in shards]
 
-            put_all()  # warmup (first transfer may pay setup)
+            # Warmup: sync too, so the first timed rep doesn't pay the
+            # ravel/index-gather compile per shard shape, and warm the
+            # concat program so cat_ms measures execution, not trace.
+            warm = put_all()
+            for d in warm:
+                sync(d)
+            sync(jax.numpy.concatenate(warm, axis=0))
             best = None
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -66,10 +76,13 @@ def main():
                 best = dt if best is None else min(best, dt)
             # device-side concat cost (what the engine would pay to
             # reassemble the block before the chunk fn)
-            t0 = time.perf_counter()
-            cat = jax.numpy.concatenate(devs, axis=0)
-            sync(cat)
-            cat_ms = (time.perf_counter() - t0) * 1e3
+            cat_ms = None
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                cat = jax.numpy.concatenate(devs, axis=0)
+                sync(cat)
+                dt = (time.perf_counter() - t0) * 1e3
+                cat_ms = dt if cat_ms is None else min(cat_ms, dt)
             if pool is not None:
                 pool.shutdown()
             rate = buf.nbytes / 1e6 / best

@@ -21,13 +21,25 @@ from usot_tpu.data.benchmark import load_dataset
 from usot_tpu.eval.polygon import poly_iou
 
 
+def str2bool(v: str) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="USOT-TPU testing")
     parser.add_argument("--arch", default="USOT")
     parser.add_argument("--resume", default="var/snapshot/USOT_star.pth")
     parser.add_argument("--dataset", default="VOT2018")
     parser.add_argument("--dataset_root", default=None)
-    parser.add_argument("--epoch_test", default=False, type=bool)
+    # NOT the reference's `type=bool` (scripts/test_usot.py:33), which
+    # parses any non-empty string — including "False" — as True.
+    parser.add_argument("--epoch_test", default=False, type=str2bool)
     parser.add_argument("--result_dir", default="var/result")
     parser.add_argument("--mem_size", default=4, type=int)
     parser.add_argument("--engine", default="parity",
@@ -544,6 +556,9 @@ def track_dataset_vot_batched(model, variables, runner, dataset, args):
             for vi, name in enumerate(group):
                 res = results[vi]
                 if res.spill_from is not None:
+                    print(f"spill: {name} re-init at frame "
+                          f"{res.spill_from} flipped the instance size; "
+                          "finishing on the scan engine")
                     # finish at the other instance size on the scan path
                     h, w = hws[vi]
                     frames = [canvases[vi][fi, :h, :w]
