@@ -33,13 +33,24 @@ BASELINE_FPS = 58.0
 
 
 def synthetic_video(n_frames, h=480, w=640, box=60, seed=0):
+    """Target bounces on a triangle wave with period 64 — one warmup /
+    measurement segment at the default chunking — so every segment
+    starts AND ends at the same pose: repeated passes over the same
+    frames (the streaming A/B, the staged repeats) keep tracking a
+    target the carried state still sees, instead of degenerating into a
+    lost-target search (or a spurious ROI replay) after pass 1. Motion
+    stays 1.5 px/frame, the drift the ROI sizing budgets for."""
     rng = np.random.default_rng(seed)
     base = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+    def tri(f, half_p=32):
+        return half_p - abs(f % (2 * half_p) - half_p)
+
     frames = []
     for f in range(n_frames):
         im = base.copy()
-        cx = 200 + int(1.5 * f)
-        cy = 240 + int(0.7 * f)
+        cx = 200 + int(1.5 * tri(f))
+        cy = 240 + int(0.7 * tri(f))
         im[cy - box // 2:cy + box // 2, cx - box // 2:cx + box // 2] = \
             [180, 160, 90]
         frames.append(im)
@@ -58,6 +69,9 @@ def main():
         pass
 
     import jax.numpy as jnp
+
+    from usot_tpu.utils.compile_watch import get_watch
+    watch = get_watch()   # register before any compile happens
 
     from usot_tpu.models.usot import build_usot, init_variables
     from usot_tpu.tracker.config import TrackerConfig
@@ -119,7 +133,8 @@ def main():
     videos = [(frames[0], np.array([200.0, 240.0]), np.array([60.0, 60.0]))
               for _ in range(batch)]
     t_init = time.perf_counter()
-    state = engine.init_batch(videos, runner)
+    with watch.phase("init_batch", log):
+        state = engine.init_batch(videos, runner)
     log(f"bench: video init done in {time.perf_counter() - t_init:.1f}s")
 
     single = np.stack(frames[1:])
@@ -129,46 +144,65 @@ def main():
     n_each = all_frames.shape[1]
     n_valid = np.full(batch, chunk)
 
-    # Warmup chunk (compile)
+    # Warmup chunk (compile or persistent-cache load; the compile[] line
+    # attributes which)
     t_c = time.perf_counter()
-    state, _, _, _ = engine.track_batch(state, all_frames[:, :chunk],
-                                        n_valid=n_valid)
+    with watch.phase("scan_chunk", log):
+        state, _, _, _ = engine.track_batch(state, all_frames[:, :chunk],
+                                            n_valid=n_valid)
     log(f"bench: scan compile+first chunk in "
         f"{time.perf_counter() - t_c:.1f}s")
 
     rest = all_frames[:, chunk:]
     n_rest = rest.shape[1]
 
-    # --- streaming figure (tunnel-included), one pass ---
-    # Default: ROI streaming with an auto-sized window and a short
-    # dispatch chunk. Full frames through this dev tunnel (~25 MB/s,
-    # high variance) cap ANY engine at ~25 fps aggregate; uploading only
-    # the exactness-checked ROI around each target is the structural fix
-    # (PERF_NOTES.md "ROI streaming"). BENCH_ROI=0 forces full frames,
-    # an integer forces that window size.
+    # --- streaming figures (tunnel-included) ---
+    # A/B on the SAME frames, same chip session: full-frame streaming
+    # first (the ~25 MB/s dev tunnel caps it at ~wire fps), then ROI
+    # streaming with an auto-sized exactness-checked window (the
+    # structural fix, PERF_NOTES.md "ROI streaming"). BENCH_ROI=0 skips
+    # the ROI leg, an integer forces that window size.
     roi_env = os.environ.get("BENCH_ROI", "auto")
     stream_chunk = int(os.environ.get("BENCH_STREAM_CHUNK", "16"))
+    t0 = time.perf_counter()
+    with watch.phase("fullframe_stream", log):
+        state, pos, _, _ = engine.track_batch(
+            state, rest, n_valid=np.full(batch, n_rest))
+    full_stream_fps = batch * n_rest / (time.perf_counter() - t0)
+    log(f"bench: full-frame streaming (tunnel-included): "
+        f"{full_stream_fps:.1f} fps")
+
     roi = engine.suggest_roi(state, chunk=stream_chunk) \
         if roi_env == "auto" else int(roi_env)
     if roi and roi < min(frames[0].shape[:2]):
         t_c = time.perf_counter()
-        engine.warm_roi(state, roi, chunk=stream_chunk)
-        log(f"bench: ROI chunk program ready in "
+        with watch.phase("roi_chunk", log):
+            engine.warm_roi(state, roi, chunk=stream_chunk)
+            # the replay path (donating full-frame program at the
+            # stream chunk) must not compile inside the timed region
+            H, W = frames[0].shape[:2]
+            state, _ = engine.run_chunk(
+                state, jnp.zeros((stream_chunk, batch, H, W * 3),
+                                 jnp.uint8),
+                np.zeros((stream_chunk, batch), bool))
+        log(f"bench: ROI chunk programs ready in "
             f"{time.perf_counter() - t_c:.1f}s")
-    t0 = time.perf_counter()
-    if roi and roi < min(frames[0].shape[:2]):
+        t0 = time.perf_counter()
         state, pos, _, _ = engine.track_batch_roi(
             state, rest, n_valid=np.full(batch, n_rest), roi=roi,
             chunk=stream_chunk)
         stream_fps = batch * n_rest / (time.perf_counter() - t0)
         log(f"bench: ROI-{roi}/chunk-{stream_chunk} streaming "
-            f"(tunnel-included): {stream_fps:.1f} fps "
-            f"({engine.roi_replays}/{engine.roi_chunks} chunks replayed)")
+            f"(tunnel-included): {stream_fps:.1f} fps = "
+            f"{stream_fps / full_stream_fps:.2f}x full-frame "
+            f"({engine.roi_replays}/{engine.roi_chunks} chunks replayed, "
+            f"{engine.roi_escalations} escalations -> roi "
+            f"{engine.roi_final}"
+            f"{', FELL BACK to full frames' if engine.roi_fallback else ''}"
+            f"; sent {engine.roi_bytes_sent / 1e6:.0f}MB vs "
+            f"{engine.roi_bytes_full_equiv / 1e6:.0f}MB full-frame)")
     else:
-        state, pos, _, _ = engine.track_batch(
-            state, rest, n_valid=np.full(batch, n_rest))
-        stream_fps = batch * n_rest / (time.perf_counter() - t0)
-        log(f"bench: streaming (tunnel-included): {stream_fps:.1f} fps")
+        stream_fps = full_stream_fps
 
     # --- staged steady-state (chip throughput), median of repeats ---
     t0 = time.perf_counter()
@@ -179,7 +213,11 @@ def main():
     staged_fps = []
     for r in range(repeats):
         t0 = time.perf_counter()
-        state, pos, sz, score = engine.track_staged(state, staged)
+        if r == 0:
+            with watch.phase("staged_program", log):
+                state, pos, sz, score = engine.track_staged(state, staged)
+        else:
+            state, pos, sz, score = engine.track_staged(state, staged)
         dt = time.perf_counter() - t0
         run_fps = batch * n_rest / dt
         staged_fps.append(run_fps)
@@ -187,6 +225,11 @@ def main():
     med = float(np.median(staged_fps))
     log(f"bench: staged median {med:.1f} fps, best {max(staged_fps):.1f}, "
         f"min {min(staged_fps):.1f}")
+    tot = watch.snapshot()
+    log(f"bench: compile totals: {tot['hits']}/{tot['requests']} "
+        f"persistent-cache hits ({tot['saved_s']:.0f}s saved, "
+        f"{tot['retrieval_s']:.1f}s load), "
+        f"{tot['backend_compile_s']:.1f}s cold backend compile")
 
     assert np.all(np.isfinite(pos)), "non-finite trajectory"
     fps = stream_fps if mode == "stream" else med

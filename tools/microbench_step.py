@@ -25,6 +25,10 @@ def main():
                     help="space-to-depth stem (exact rewrite) A/B")
     ap.add_argument("--s2b", action="store_true",
                     help="space-to-batch layer3 dilated convs (exact) A/B")
+    ap.add_argument("--mfu", action="store_true",
+                    help="per-stage roofline table: XLA-counted FLOPs/"
+                         "bytes vs v5e MXU/HBM peaks (PERF_NOTES "
+                         "'Inference-step MFU attribution')")
     args = ap.parse_args()
 
     import jax
@@ -135,6 +139,20 @@ def main():
         out = xcorr_depthwise_shift(x, k)
         return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
 
+    # v5e peaks for the roofline columns (--mfu). MXU bf16 197 TFLOP/s
+    # (f32 convs run at half), HBM ~819 GB/s. The depthwise correlation
+    # runs on the VPU, whose peak we ESTIMATE at ~4.6 TFLOP/s
+    # (consistent with the round-3 '~30% of VPU peak' reading of the
+    # row-blocked kernel); its rows are marked est.
+    PEAK_MXU = 197e12 if args.dtype == "bf16" else 98.5e12
+    PEAK_HBM = 819e9
+    PEAK_VPU = 4.6e12
+    # XLA's cost model can't see inside a Pallas kernel: analytic FLOPs
+    # for the fused 3-scale depthwise correlation (5x5+3x5+5x3 = 55 taps
+    # x B x M x 25 x 25 x C FMAs; ops/pallas/xcorr_kernel.py).
+    GROUPDW_FLOPS = 2.0 * B * 7 * 256 * 25 * 25 * 55
+    mfu_rows = []
+
     def run(name, f, *args):
         # big operands ride as jit ARGUMENTS (baking them in as closure
         # constants overflows the remote-compile request body)
@@ -148,7 +166,43 @@ def main():
             t = time.perf_counter()
             np.asarray(jitted(*args))
             reps.append((time.perf_counter() - t) / N_ITER * 1e3)
-        print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
+        ms = min(reps)
+        print(f"{name:28s} {ms:8.2f} ms/iter", flush=True)
+        if not arg_ns.mfu:
+            return
+        # roofline: cost-analyze ONE application (the scan reports the
+        # body once; a separate single-step compile is unambiguous)
+        try:
+            ca = jax.jit(lambda *a: f(jnp.float32(0.0), *a)) \
+                .lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0) or 0.0)
+            hbm = float(ca.get("bytes accessed", 0.0) or 0.0)
+        except Exception as e:  # pragma: no cover - backend-specific
+            print(f"  cost_analysis unavailable for {name}: {e}")
+            return
+        vpu_flops = 0.0
+        if "groupdw" in name or "FULL STEP" in name:
+            vpu_flops = GROUPDW_FLOPS     # invisible to XLA (Pallas)
+        t_mxu = flops / PEAK_MXU
+        t_vpu = vpu_flops / PEAK_VPU
+        t_hbm = hbm / PEAK_HBM
+        bound_s = max(t_mxu, t_vpu, t_hbm)
+        kind = ("MXU" if bound_s == t_mxu else
+                "VPU est" if bound_s == t_vpu else "HBM")
+        mfu_rows.append({
+            "stage": name.strip(), "ms": round(ms, 2),
+            "gflop": round((flops + vpu_flops) / 1e9, 1),
+            "gb": round(hbm / 1e9, 2),
+            "tflops": round((flops + vpu_flops) / (ms * 1e-3) / 1e12, 1),
+            "gbps": round(hbm / (ms * 1e-3) / 1e9, 0),
+            "bound_ms": round(bound_s * 1e3, 2),
+            "bound": kind,
+            "attain_pct": round(100 * bound_s * 1e3 / ms, 1),
+        })
+
+    arg_ns = args
 
     # ---- full frame step, both engine impls, no chunk machinery ----
     from usot_tpu.tracker.engine import BatchScanEngine, EngineState
@@ -357,6 +411,91 @@ def main():
             np.asarray(outs[0][0, 0])
             reps.append((time.perf_counter() - t) / T * 1e3)
         print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
+
+    if args.mfu:
+        # ---- backbone prefix decomposition (early-tiling verdict) ----
+        # Timing prefixes (stem, +layer1, +layer2, +layer3) of the SAME
+        # architecture with random weights (tiling efficiency is
+        # weight-independent) attributes the backbone's ms/FLOPs/bytes
+        # per resolution stage: the question is whether the early
+        # high-resolution stages leave enough absolute ms above their
+        # roofline bound to justify a hand-written Pallas backbone.
+        import flax.linen as nn
+        from usot_tpu.models.backbone import (ResNetPlus2, StemConvBN,
+                                              _max_pool_3x3_s2_p1)
+
+        class ResNetPrefix(ResNetPlus2):
+            n_stages: int = 0
+
+            @nn.compact
+            def __call__(self, x):   # mirrors ResNetPlus2.__call__
+                x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem,
+                               width=self.width, name="stem")(x, False)
+                x = nn.relu(x)
+                x = _max_pool_3x3_s2_p1(x)
+                w = self.width
+                specs = [(w, self.layers[0], 1, 1, "layer1"),
+                         (w * 2, self.layers[1], 2, 1, "layer2"),
+                         (w * 4, self.layers[2], 1, 2, "layer3")]
+                for planes, blocks, stride, dil, nm in \
+                        specs[:self.n_stages]:
+                    x = self._stage(x, planes, blocks, stride, dil, nm,
+                                    False)
+                return x
+
+        prev = None
+        for ns, label in ((0, "stem+pool"), (1, "+layer1"),
+                          (2, "+layer2"), (3, "+layer3")):
+            net = ResNetPrefix(dtype=dtype, n_stages=ns)
+            pvars = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, S, S, 3), dtype))
+
+            def f_prefix(c, pv):
+                out = net.apply(pv, x_crop + c.astype(dtype))
+                return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+            run(f"backbone prefix {label}", f_prefix, pvars)
+
+        # incremental per-stage rows from the 4 cumulative prefixes
+        pref = [r for r in mfu_rows if r["stage"].startswith(
+            "backbone prefix")]
+        for a, b in zip(pref[:-1], pref[1:]):
+            dms = b["ms"] - a["ms"]
+            if dms <= 0:
+                continue
+            gflop = b["gflop"] - a["gflop"]
+            gb = b["gb"] - a["gb"]
+            bound = max(gflop * 1e9 / PEAK_MXU, gb * 1e9 / PEAK_HBM)
+            mfu_rows.append({
+                "stage": b["stage"].replace("backbone prefix ",
+                                            "backbone stage "),
+                "ms": round(dms, 2), "gflop": round(gflop, 1),
+                "gb": round(gb, 2),
+                "tflops": round(gflop / dms / 1e3, 1),
+                "gbps": round(gb / dms * 1e3, 0),
+                "bound_ms": round(bound * 1e3, 2),
+                "bound": "MXU" if gflop * 1e9 / PEAK_MXU
+                         >= gb * 1e9 / PEAK_HBM else "HBM",
+                "attain_pct": round(100 * bound * 1e3 / dms, 1),
+            })
+
+    if args.mfu and mfu_rows:
+        import json
+        print("\n### Inference-step MFU attribution "
+              f"(B={B}, {args.dtype}, v5e)\n")
+        print("| stage | ms | GFLOP | GB | TFLOP/s | GB/s | bound ms "
+              "| bound | attainment |")
+        print("|---|---|---|---|---|---|---|---|---|")
+        for r in mfu_rows:
+            print(f"| {r['stage']} | {r['ms']} | {r['gflop']} | "
+                  f"{r['gb']} | {r['tflops']} | {r['gbps']:.0f} | "
+                  f"{r['bound_ms']} | {r['bound']} | "
+                  f"{r['attain_pct']}% |")
+        os.makedirs("var", exist_ok=True)
+        with open("var/mfu_inference.json", "w") as f:
+            json.dump({"batch": B, "dtype": args.dtype,
+                       "rows": mfu_rows}, f, indent=1)
+        print("\nwrote var/mfu_inference.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -902,19 +902,36 @@ class BatchScanEngine(ScanEngine):
         return x0, x0 + s_x, y0, y0 + s_x
 
     def suggest_roi(self, state, chunk: int = None, drift: float = 2.0,
-                    margin: float = 2.0, align: int = 32) -> int:
+                    margin: float = 2.0, align: int = 32,
+                    growth: float = 1.2, stale_chunks: int = 2) -> int:
         """Pick an ROI size for track_batch_roi from the CURRENT batch
         state: the crop-window span s_x (deterministic in target size)
-        plus headroom for the target drifting `drift` px/frame over one
-        dispatch chunk (the ROI origin is anchored at chunk start).
+        plus headroom for the target drifting `drift` px/frame over the
+        window between ROI anchor and the last frame read through it.
+
+        stale_chunks: how many chunks of drift the anchor can be behind.
+        With pipeline=True (track_batch_roi's default) the speculative
+        chunk's ROI is anchored at a position one FULL chunk stale, so
+        its windows carry up to 2*chunk frames of drift — budgeting only
+        1*chunk (the round-4 default) made every speculative chunk
+        marginal and produced the alternating ok/replay thrash in
+        BENCH_r04 (3/6 chunks replayed). Pass 1 for pipeline=False.
+
+        growth: headroom factor on the target-size-dependent span s_x —
+        the tracker's size EMA grows the estimated target over a run
+        (lr_box updates), which grows s_x after this suggestion is made.
+
         Larger targets or faster motion than the allowance just replay —
-        exactness never depends on this heuristic, only throughput."""
+        exactness never depends on this heuristic, only throughput (and
+        track_batch_roi now re-sizes from the replayed trajectory, so a
+        bad guess costs one replay, not a thrash)."""
         chunk = self.chunk if chunk is None else chunk
         pos = np.asarray(state.pos, np.float64)
         sz = np.asarray(state.sz, np.float64)
         x0, x1, _, _ = self._crop_window(pos, sz)
         s_x = float(np.max(x1 - x0))
-        need = s_x + 1 + 2 * (margin + drift * chunk)
+        need = s_x * growth + 1 + 2 * (margin + drift * chunk
+                                       * stale_chunks)
         return int(-(-need // align) * align)
 
     def warm_roi(self, state, roi: int, chunk: int = None):
@@ -972,6 +989,33 @@ class BatchScanEngine(ScanEngine):
                 return False
         return True
 
+    def _roi_needed(self, pos_np, sz_np, pos_h, sz_h, anchor, nb,
+                    valid_np, margin) -> float:
+        """Minimal ROI size, centered on the anchor this chunk was
+        dispatched with, that would have contained every (clipped) crop
+        window of the chunk's TRUE trajectory. The clamped origin
+        placement _roi_slice uses covers at least the centered
+        placement's canvas intersection, so `_roi_ok` failing implies
+        needed > the attempted roi — escalating straight to `needed`
+        converges in one replay instead of climbing a blind ladder."""
+        im_hw = np.asarray(self._im_hw_b)
+        prev_pos = np.concatenate([pos_h[None], pos_np[:nb - 1]])
+        prev_sz = np.concatenate([sz_h[None], sz_np[:nb - 1]])
+        need = 0.0
+        for t in range(nb):
+            x0, x1, y0, y1 = self._crop_window(prev_pos[t], prev_sz[t])
+            rx0 = np.maximum(x0 - margin, 0)
+            rx1 = np.minimum(x1 + margin, im_hw[:, 1] - 1)
+            ry0 = np.maximum(y0 - margin, 0)
+            ry1 = np.minimum(y1 + margin, im_hw[:, 0] - 1)
+            half = np.maximum.reduce(
+                [anchor[:, 0] - rx0, rx1 - anchor[:, 0],
+                 anchor[:, 1] - ry0, ry1 - anchor[:, 1]])
+            half = np.where(valid_np[t], half, 0.0)
+            need = max(need, float(np.max(half)))
+        # +2: inclusive-span and np.round(origin) slack
+        return 2.0 * need + 2.0
+
     def track_batch_roi(self, state, frames_u8: np.ndarray,
                         n_valid: np.ndarray, roi: int = 384,
                         margin: float = 2.0, chunk: int = None,
@@ -1003,12 +1047,20 @@ class BatchScanEngine(ScanEngine):
         actual uploaded origins; a failed chunk discards the speculative
         work and replays from the saved carry.
 
-        escalate: after 2 consecutive replays, grow the ROI ~1.4x
-        (align-rounded) — a mis-sized window (target grew, or erratic
-        motion) then converges to a working size instead of replaying
-        full frames forever. Escalating to >= the canvas hands the rest
-        of the run to track_batch. Each new size compiles one more chunk
-        program (persistent-cached across runs).
+        escalate: EVERY replay re-sizes the ROI from the replayed true
+        trajectory (_roi_needed) — a mis-sized window (target grew,
+        erratic motion, stale speculative anchor) converges in one
+        replay instead of thrashing; a failure always implies
+        needed > roi, so the size grows strictly. Each new size
+        compiles one more chunk program (persistent-cached across
+        runs). Cost-based fallback (escalate=True only): when the
+        escalated ROI upload is >= 80% of a full frame, or the overall
+        replay fraction exceeds 40% after 5+ chunks (safety net —
+        every replay re-uploads the chunk at FULL frames, the worst
+        outcome for a path built to save bytes), the rest of the run
+        is handed to track_batch. Telemetry after any run:
+        roi_replays, roi_chunks, roi_escalations, roi_final,
+        roi_fallback, roi_bytes_sent, roi_bytes_full_equiv.
 
         chunk: dispatch granularity, default self.chunk. Streaming wants
         SHORTER chunks than staged tracking: the ROI origin is anchored
@@ -1025,7 +1077,11 @@ class BatchScanEngine(ScanEngine):
         self.roi_chunks = 0
         self.roi_escalations = 0
         self.roi_final = roi
+        self.roi_fallback = False
+        self.roi_bytes_sent = 0
+        self.roi_bytes_full_equiv = 0
         if roi >= min(H, W):
+            self.roi_fallback = True
             return self.track_batch(state, frames_u8, n_valid)
         zero_origin = jnp.zeros((b, 2), jnp.float32)
         pos_h = np.asarray(state.pos, np.float64)         # sync snapshot
@@ -1053,6 +1109,7 @@ class BatchScanEngine(ScanEngine):
                 self.variables, rec["state_in"], jnp.asarray(block_tb),
                 jnp.asarray(rec["valid"]), self._avg_b, self._im_hw_b,
                 zero_origin)
+            self.roi_bytes_sent += block_tb.nbytes
             pos_np, sz_np = [np.asarray(a, np.float64)
                              for a in jax.device_get((outs[0], outs[1]))]
             return st, (pos_np, sz_np, outs[2])
@@ -1073,14 +1130,35 @@ class BatchScanEngine(ScanEngine):
                 self.variables, state_in, jax.device_put(roi_block),
                 jnp.asarray(valid), self._avg_b, self._im_hw_b, origin)
             self.roi_chunks += 1
+            self.roi_bytes_sent += roi_block.nbytes
+            self.roi_bytes_full_equiv += b * chunk * H * W * 3
             return dict(j=j, nb=nb, block=block, valid=valid, ox=ox,
                         oy=oy, roi=cur_roi, state_in=state_in,
-                        state_out=st, outs=outs)
+                        state_out=st, outs=outs,
+                        anchor=np.asarray(anchor_pos, np.float64))
+
+        def hand_off(state):
+            """Hand the remaining frames to full-frame track_batch (the
+            bit-identical full-frame program): ROI streaming stopped
+            paying for itself on this run."""
+            self.roi_fallback = True
+            self.roi_final = min(H, W)
+            i_rest = starts[j] if j < len(starts) else n
+            done = [pending[k] for k in sorted(pending)]
+            if i_rest >= n:
+                return (state,) + self._collate(done)
+            nv = np.clip(n_valid - i_rest, 0, n - i_rest)
+            state, p2, s2, c2 = self.track_batch(
+                state, frames_u8[:, i_rest:], nv)
+            pos, sz, sc = self._collate(done)
+            return (state,
+                    np.concatenate([pos, p2], axis=1),
+                    np.concatenate([sz, s2], axis=1),
+                    np.concatenate([sc, c2], axis=1))
 
         depth = 2 if pipeline else 1
         inflight = []
         j = 0              # next chunk index to dispatch
-        consec_replays = 0
         while j < len(starts) or inflight:
             while j < len(starts) and len(inflight) < depth:
                 # anchor: last host-known pos — exact for the first
@@ -1099,39 +1177,34 @@ class BatchScanEngine(ScanEngine):
                             margin):
                 state = rec["state_out"]
                 pending[rec["j"]] = (nb, (pos_np, sz_np, rec["outs"][2]))
-                consec_replays = 0
             else:
                 # speculative successors read a wrong carry: discard
                 # them and rewind the dispatch cursor
                 j = rec["j"] + 1
                 inflight.clear()
                 self.roi_replays += 1
-                consec_replays += 1
                 state, outs_h = replay(rec)
                 pos_np, sz_np = outs_h[0], outs_h[1]
                 pending[rec["j"]] = (nb, outs_h)
-                if escalate and consec_replays >= 2:
-                    new_roi = int(-(-roi * 1.4 // 32) * 32)
-                    self.roi_escalations += 1
-                    # stay trigger-happy while replays keep coming: the
-                    # next consecutive replay escalates again
-                    consec_replays = 1
-                    if new_roi >= min(H, W):
-                        # hand the rest of the run to full frames
-                        self.roi_final = min(H, W)
-                        i_rest = starts[j] if j < len(starts) else n
-                        if i_rest < n:
-                            nv = np.clip(n_valid - i_rest, 0,
-                                         n - i_rest)
-                            state, p2, s2, c2 = self.track_batch(
-                                state, frames_u8[:, i_rest:], nv)
-                            done = [pending[k] for k in sorted(pending)]
-                            pos, sz, sc = self._collate(done)
-                            return (state,
-                                    np.concatenate([pos, p2], axis=1),
-                                    np.concatenate([sz, s2], axis=1),
-                                    np.concatenate([sc, c2], axis=1))
-                        break
+                if escalate:
+                    # re-size from the replayed TRUE trajectory: at the
+                    # point of failure pos_h/sz_h still hold the state
+                    # ENTERING rec (updated only after each processed
+                    # chunk), and rec carries the anchor it was
+                    # dispatched with — _roi_needed gives the size that
+                    # would have held this chunk, and failure implies
+                    # needed > roi, so the size grows strictly.
+                    need = self._roi_needed(pos_np, sz_np, pos_h, sz_h,
+                                            rec["anchor"], nb,
+                                            rec["valid"], margin)
+                    new_roi = int(-(-max(need, roi + 1.0) // 32) * 32)
+                    if new_roi > roi:
+                        self.roi_escalations += 1
+                    frac = self.roi_replays / max(self.roi_chunks, 1)
+                    if (new_roi >= min(H, W)
+                            or new_roi * new_roi >= 0.8 * H * W
+                            or (self.roi_chunks >= 5 and frac > 0.4)):
+                        return hand_off(state)
                     roi = new_roi
                     self.roi_final = roi
             pos_h = pos_np[nb - 1]
