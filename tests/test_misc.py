@@ -294,3 +294,35 @@ class TestSubwindowMatmul:
             b = fb(im, px, py, s, avg, valid_h=vh, valid_w=vw)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3)
+
+
+class TestCompileWatch:
+    def test_phase_attributes_compiles(self, capsys):
+        """CompileWatch counts persistent-cache requests/hits and cold
+        backend-compile seconds per phase (utils/compile_watch.py; the
+        bench.py tail uses this to distinguish compile from tunnel)."""
+        import jax
+        import jax.numpy as jnp
+
+        from usot_tpu.utils.compile_watch import get_watch
+
+        watch = get_watch()
+        before = watch.snapshot()
+
+        lines = []
+        with watch.phase("toy", log=lines.append):
+            f = jax.jit(lambda x: (jnp.sin(x) * 3).sum())
+            f(jnp.arange(7.0)).block_until_ready()
+        assert len(lines) == 1 and lines[0].startswith("compile[toy]:")
+
+        after = watch.snapshot()
+        d = watch._delta(before, after)
+        # a fresh jit must have spent backend-compile time (cache may or
+        # may not be configured in the test env; requests-hits >= 0)
+        assert d["backend_compile_s"] > 0.0
+        assert d["requests"] >= d["hits"] >= 0
+        # a second identical call is a tracing cache hit: no new compile
+        before2 = watch.snapshot()
+        f(jnp.arange(7.0)).block_until_ready()
+        d2 = watch._delta(before2, watch.snapshot())
+        assert d2["backend_compile_s"] == 0.0
