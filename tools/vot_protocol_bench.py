@@ -199,6 +199,10 @@ def main():
     ap.add_argument("--out", default="VOTBENCH_r05.json")
     ap.add_argument("--skip-scan", action="store_true",
                     help="only run the batched engine (no file compare)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="model width override (e.g. 8 for the committed "
+                         "tiny fixture)")
+    ap.add_argument("--channels", type=int, default=None)
     args = ap.parse_args()
 
     root = os.path.join(REPO, args.root)
@@ -211,6 +215,11 @@ def main():
     ckpt = os.path.join(REPO, args.ckpt) if not os.path.isabs(args.ckpt) \
         else args.ckpt
     engines = ["batch"] if args.skip_scan else ["batch", "scan"]
+    extra = []
+    if args.width is not None:
+        extra += ["--width", str(args.width)]
+    if args.channels is not None:
+        extra += ["--channels", str(args.channels)]
     runs = {}
     for engine in engines:
         rdir = os.path.join(root, f"result_{engine}")
@@ -218,7 +227,7 @@ def main():
             import shutil
             shutil.rmtree(rdir)
         dt, spills = run_engine(engine, root, rdir, ckpt, args.chunk,
-                                args.batch)
+                                args.batch, extra=extra)
         results = read_results(rdir)
         restarts = sum(sum(1 for r in rows if r == 2)
                        for rows in results.values())

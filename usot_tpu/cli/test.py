@@ -611,10 +611,16 @@ def main(argv=None):
                        # ms/step at B=32 (PERF_NOTES.md); interpret-mode
                        # on CPU is test-only slow, so gate by backend
                        fused_xcorr=jax.default_backend() == "tpu",
-                       # exact s2b rewrite of the dilated layer3 convs
-                       # (tools/ab_backbone_s2b.py: bit-identical, ~3%
-                       # backbone win on TPU)
-                       s2b_dilated=jax.default_backend() == "tpu")
+                       # exact s2b rewrite of the dilated layer3 convs:
+                       # bit-identical and a ~3% win on the ISOLATED
+                       # backbone (tools/ab_backbone_s2b.py), but NEGATIVE
+                       # on the full tracking step (1952.7 -> 1846.6 fps
+                       # staged; its reshape/transposes break XLA's fusion
+                       # with the neck crop, PERF_NOTES.md "space-to-batch
+                       # dilated layer3") — off, matching bench.py.
+                       # USOT_S2B=1 re-enables for A/B.
+                       s2b_dilated=os.environ.get("USOT_S2B") == "1"
+                       and jax.default_backend() == "tpu")
     if args.resume and os.path.exists(args.resume):
         variables = load_variables(args.resume)
     else:
