@@ -183,6 +183,63 @@ def skeleton(rows):
     return [r if isinstance(r, int) else "b" for r in rows]
 
 
+def compare_results(a, b):
+    """Characterize batch-vs-scan agreement.
+
+    Lockstep batching changes f32 reduction/fusion order, so per-step
+    deltas are ~1e-4 px (tests/test_lockstep.py); over hundreds of
+    frames near a LOST target (response-map argmax near ties) the
+    deltas amplify chaotically and a marginal overlap check can flip a
+    failure by a few frames, after which the two trajectories
+    legitimately diverge (different re-init frame). The summary
+    separates the two regimes: identical-skeleton prefix fraction +
+    per-frame delta percentiles within it, and per-video divergence
+    points (each after N identical restarts) outside it."""
+    assert sorted(a) == sorted(b)
+    mism, deltas, ident_frames, total_frames = [], [], 0, 0
+    for name in sorted(a):
+        sa, sb = skeleton(a[name]), skeleton(b[name])
+        n = len(sa)
+        total_frames += n
+        if sa != sb:
+            f = next(i for i, (x, y) in enumerate(zip(sa, sb)) if x != y)
+            ident_frames += f
+            mism.append({
+                "video": name, "first_mismatch_frame": f, "frames": n,
+                "identical_restarts_before": sum(
+                    1 for r in a[name][:f] if r == 2)})
+            continue
+        ident_frames += n
+        for ra, rb in zip(a[name], b[name]):
+            if not isinstance(ra, int):
+                deltas.append(float(np.max(np.abs(
+                    np.asarray(ra) - np.asarray(rb)))))
+    d = np.asarray(deltas) if deltas else np.zeros(1)
+    pct = np.percentile(d, [50, 90, 99])
+    summary = {
+        "skeleton_identical_videos": len(a) - len(mism),
+        "videos": len(a),
+        "identical_prefix_frames_pct": round(100 * ident_frames
+                                             / total_frames, 2),
+        "skeleton_divergences": mism,
+        "bbox_delta_px_on_identical_skeletons": {
+            "median": round(float(pct[0]), 5),
+            "p90": round(float(pct[1]), 5),
+            "p99": round(float(pct[2]), 4),
+            "max": round(float(d.max()), 4),
+            "frames_over_1px": int((d > 1).sum()),
+            "frames": len(deltas),
+        },
+    }
+    print(f"compare: skeletons identical in "
+          f"{summary['skeleton_identical_videos']}/{len(a)} videos "
+          f"({summary['identical_prefix_frames_pct']}% of frames in "
+          f"identical prefixes); bbox delta median "
+          f"{pct[0]:.5f} px, p90 {pct[1]:.5f}, max {d.max():.2f}",
+          flush=True)
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="var/vot_bench")
@@ -252,28 +309,8 @@ def main():
                        if k != "results"}
 
     if not args.skip_scan:
-        mism, max_delta = [], 0.0
-        a, b = runs["batch"]["results"], runs["scan"]["results"]
-        assert sorted(a) == sorted(b)
-        for name in a:
-            if skeleton(a[name]) != skeleton(b[name]):
-                bad = [i for i, (x, y) in enumerate(
-                    zip(skeleton(a[name]), skeleton(b[name]))) if x != y]
-                mism.append({"video": name, "frames": bad[:10]})
-                continue
-            for ra, rb in zip(a[name], b[name]):
-                if not isinstance(ra, int):
-                    d = float(np.max(np.abs(np.asarray(ra)
-                                            - np.asarray(rb))))
-                    max_delta = max(max_delta, d)
-        out["compare"] = {
-            "skeleton_mismatch_videos": mism,
-            "skeletons_identical": not mism,
-            "max_bbox_delta_px": round(max_delta, 5),
-        }
-        print(f"compare: skeletons identical in "
-              f"{len(a) - len(mism)}/{len(a)} videos; "
-              f"max bbox delta {max_delta:.4f} px", flush=True)
+        out["compare"] = compare_results(runs["batch"]["results"],
+                                         runs["scan"]["results"])
 
     import jax
     out["device"] = str(jax.devices()[0])
