@@ -326,3 +326,46 @@ class TestCompileWatch:
         f(jnp.arange(7.0)).block_until_ready()
         d2 = watch._delta(before2, watch.snapshot())
         assert d2["backend_compile_s"] == 0.0
+
+
+class TestVotBenchCompare:
+    """compare_results in tools/vot_protocol_bench.py: the two-regime
+    batch-vs-scan agreement characterization (identical-skeleton delta
+    percentiles; per-video divergence points)."""
+
+    def _mk(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "tools"))
+        from vot_protocol_bench import compare_results
+        return compare_results
+
+    def test_identical(self):
+        compare = self._mk()
+        rows = [1, [1.0, 2.0, 3.0, 4.0], 2, 0, 1, [5.0, 6.0, 7.0, 8.0]]
+        out = compare({"a": rows}, {"a": [r for r in rows]})
+        assert out["skeleton_identical_videos"] == 1
+        assert out["identical_prefix_frames_pct"] == 100.0
+        assert out["skeleton_divergences"] == []
+        d = out["bbox_delta_px_on_identical_skeletons"]
+        assert d["max"] == 0.0 and d["frames"] == 2
+
+    def test_divergence_bookkeeping(self):
+        compare = self._mk()
+        # video 'v': agree for 4 rows (incl. one restart), then batch
+        # declares failure where scan keeps a bbox
+        a = {"v": [1, [0.0] * 4, 2, 1, 2, 0],
+             "w": [1, [1.0] * 4, [2.0] * 4]}
+        b = {"v": [1, [0.0] * 4, 2, 1, [9.0] * 4, [9.0] * 4],
+             "w": [1, [1.0] * 4, [2.5] * 4]}
+        out = compare(a, b)
+        assert out["skeleton_identical_videos"] == 1
+        div = out["skeleton_divergences"]
+        assert len(div) == 1 and div[0]["video"] == "v"
+        assert div[0]["first_mismatch_frame"] == 4
+        assert div[0]["identical_restarts_before"] == 1
+        # 3 frames in w + 4-frame identical prefix of v, of 9 total
+        assert out["identical_prefix_frames_pct"] == round(
+            100 * (3 + 4) / (6 + 3), 2)
+        d = out["bbox_delta_px_on_identical_skeletons"]
+        assert d["max"] == 0.5 and d["frames_over_1px"] == 0
