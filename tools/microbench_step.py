@@ -29,7 +29,15 @@ def main():
                     help="per-stage roofline table: XLA-counted FLOPs/"
                          "bytes vs v5e MXU/HBM peaks (PERF_NOTES "
                          "'Inference-step MFU attribution')")
+    ap.add_argument("--only-prefix", action="store_true",
+                    help="run ONLY the backbone prefix decomposition "
+                         "(early-tiling verdict) — each stage costs a "
+                         "~2 min remote compile through the dev tunnel, "
+                         "so the full battery takes ~45 min; this cut "
+                         "fits a short chip window. Implies --mfu.")
     args = ap.parse_args()
+    if args.only_prefix:
+        args.mfu = True
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "var/jax_cache")
@@ -154,6 +162,8 @@ def main():
     mfu_rows = []
 
     def run(name, f, *args):
+        if arg_ns.only_prefix and not name.startswith("backbone prefix"):
+            return
         # big operands ride as jit ARGUMENTS (baking them in as closure
         # constants overflows the remote-compile request body)
         jitted = jax.jit(lambda *a: jax.lax.scan(
@@ -206,6 +216,14 @@ def main():
 
     # ---- full frame step, both engine impls, no chunk machinery ----
     from usot_tpu.tracker.engine import BatchScanEngine, EngineState
+    if args.only_prefix:
+        # the prefix decomposition needs only x_crop + run(); skip the
+        # engine/carry setup (2 remote compiles + a few hundred MB of
+        # ring uploads through the tunnel)
+        _run_prefix_decomposition(args, run, mfu_rows, x_crop, dtype,
+                                  S, PEAK_MXU, PEAK_HBM)
+        _emit_mfu_table(args, mfu_rows, B)
+        return
     engine = BatchScanEngine(model, variables, p, 480, 640, batch=B,
                              max_frames=MAXF, chunk=8)
     sz_b = jnp.full((B, 2), 60.0, jnp.float32)
@@ -359,9 +377,10 @@ def main():
 
     # ---- chunk-like scans: isolate xs-streaming / valid-select cost ----
     T = 8
-    frames_chunk = jnp.asarray(rng.integers(
-        0, 255, (T, B, 480, 640 * 3), dtype=np.uint8))
-    valid_chunk = jnp.ones((T, B), bool)
+    if not args.only_prefix:
+        frames_chunk = jnp.asarray(rng.integers(
+            0, 255, (T, B, 480, 640 * 3), dtype=np.uint8))
+        valid_chunk = jnp.ones((T, B), bool)
 
     def scan_chunk(with_select):
         def chunk(st0, fr, vd):
@@ -377,8 +396,9 @@ def main():
             return jax.lax.scan(body, st0, (fr, vd))
         return chunk
 
-    for name, ws in (("chunk scan, no select", False),
-                     ("chunk scan, with select", True)):
+    for name, ws in () if args.only_prefix else (
+            ("chunk scan, no select", False),
+            ("chunk scan, with select", True)):
         jitted = jax.jit(scan_chunk(ws))
         st2, outs = jitted(state, frames_chunk, valid_chunk)
         np.asarray(outs[0][0, 0])
@@ -391,8 +411,8 @@ def main():
         print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
 
     # ---- the engine's real _chunk_fn, with vs without donation ----
-    raw_chunk = engine._make_chunk_fn()
-    for name, jitted, donate in (
+    raw_chunk = None if args.only_prefix else engine._make_chunk_fn()
+    for name, jitted, donate in () if args.only_prefix else (
             ("engine chunk_fn, no donate", jax.jit(raw_chunk), False),
             ("engine chunk_fn, donate", jax.jit(raw_chunk,
                                                 donate_argnums=(1,)), True)):
@@ -413,89 +433,101 @@ def main():
         print(f"{name:28s} {min(reps):8.2f} ms/iter", flush=True)
 
     if args.mfu:
-        # ---- backbone prefix decomposition (early-tiling verdict) ----
-        # Timing prefixes (stem, +layer1, +layer2, +layer3) of the SAME
-        # architecture with random weights (tiling efficiency is
-        # weight-independent) attributes the backbone's ms/FLOPs/bytes
-        # per resolution stage: the question is whether the early
-        # high-resolution stages leave enough absolute ms above their
-        # roofline bound to justify a hand-written Pallas backbone.
-        import flax.linen as nn
-        from usot_tpu.models.backbone import (ResNetPlus2, StemConvBN,
-                                              _max_pool_3x3_s2_p1)
+        _run_prefix_decomposition(args, run, mfu_rows, x_crop, dtype, S,
+                                  PEAK_MXU, PEAK_HBM)
+    _emit_mfu_table(args, mfu_rows, B)
 
-        class ResNetPrefix(ResNetPlus2):
-            n_stages: int = 0
 
-            @nn.compact
-            def __call__(self, x):   # mirrors ResNetPlus2.__call__
-                x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem,
-                               width=self.width, name="stem")(x, False)
-                x = nn.relu(x)
-                x = _max_pool_3x3_s2_p1(x)
-                w = self.width
-                specs = [(w, self.layers[0], 1, 1, "layer1"),
-                         (w * 2, self.layers[1], 2, 1, "layer2"),
-                         (w * 4, self.layers[2], 1, 2, "layer3")]
-                for planes, blocks, stride, dil, nm in \
-                        specs[:self.n_stages]:
-                    x = self._stage(x, planes, blocks, stride, dil, nm,
-                                    False)
-                return x
+def _run_prefix_decomposition(args, run, mfu_rows, x_crop, dtype, S,
+                              PEAK_MXU, PEAK_HBM):
+    """Backbone prefix decomposition (early-tiling verdict).
 
-        prev = None
-        for ns, label in ((0, "stem+pool"), (1, "+layer1"),
-                          (2, "+layer2"), (3, "+layer3")):
-            net = ResNetPrefix(dtype=dtype, n_stages=ns)
-            pvars = net.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, S, S, 3), dtype))
+    Timing prefixes (stem, +layer1, +layer2, +layer3) of the SAME
+    architecture with random weights (tiling efficiency is
+    weight-independent) attributes the backbone's ms/FLOPs/bytes
+    per resolution stage: the question is whether the early
+    high-resolution stages leave enough absolute ms above their
+    roofline bound to justify a hand-written Pallas backbone."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from usot_tpu.models.backbone import (ResNetPlus2, StemConvBN,
+                                          _max_pool_3x3_s2_p1)
 
-            def f_prefix(c, pv):
-                out = net.apply(pv, x_crop + c.astype(dtype))
-                return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+    class ResNetPrefix(ResNetPlus2):
+        n_stages: int = 0
 
-            run(f"backbone prefix {label}", f_prefix, pvars)
+        @nn.compact
+        def __call__(self, x):   # mirrors ResNetPlus2.__call__
+            x = StemConvBN(dtype=self.dtype, s2d=self.s2d_stem,
+                           width=self.width, name="stem")(x, False)
+            x = nn.relu(x)
+            x = _max_pool_3x3_s2_p1(x)
+            w = self.width
+            specs = [(w, self.layers[0], 1, 1, "layer1"),
+                     (w * 2, self.layers[1], 2, 1, "layer2"),
+                     (w * 4, self.layers[2], 1, 2, "layer3")]
+            for planes, blocks, stride, dil, nm in \
+                    specs[:self.n_stages]:
+                x = self._stage(x, planes, blocks, stride, dil, nm,
+                                False)
+            return x
 
-        # incremental per-stage rows from the 4 cumulative prefixes
-        pref = [r for r in mfu_rows if r["stage"].startswith(
-            "backbone prefix")]
-        for a, b in zip(pref[:-1], pref[1:]):
-            dms = b["ms"] - a["ms"]
-            if dms <= 0:
-                continue
-            gflop = b["gflop"] - a["gflop"]
-            gb = b["gb"] - a["gb"]
-            bound = max(gflop * 1e9 / PEAK_MXU, gb * 1e9 / PEAK_HBM)
-            mfu_rows.append({
-                "stage": b["stage"].replace("backbone prefix ",
-                                            "backbone stage "),
-                "ms": round(dms, 2), "gflop": round(gflop, 1),
-                "gb": round(gb, 2),
-                "tflops": round(gflop / dms / 1e3, 1),
-                "gbps": round(gb / dms * 1e3, 0),
-                "bound_ms": round(bound * 1e3, 2),
-                "bound": "MXU" if gflop * 1e9 / PEAK_MXU
-                         >= gb * 1e9 / PEAK_HBM else "HBM",
-                "attain_pct": round(100 * bound * 1e3 / dms, 1),
-            })
+    for ns, label in ((0, "stem+pool"), (1, "+layer1"),
+                      (2, "+layer2"), (3, "+layer3")):
+        net = ResNetPrefix(dtype=dtype, n_stages=ns)
+        pvars = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, S, S, 3), dtype))
 
-    if args.mfu and mfu_rows:
-        import json
-        print("\n### Inference-step MFU attribution "
-              f"(B={B}, {args.dtype}, v5e)\n")
-        print("| stage | ms | GFLOP | GB | TFLOP/s | GB/s | bound ms "
-              "| bound | attainment |")
-        print("|---|---|---|---|---|---|---|---|---|")
-        for r in mfu_rows:
-            print(f"| {r['stage']} | {r['ms']} | {r['gflop']} | "
-                  f"{r['gb']} | {r['tflops']} | {r['gbps']:.0f} | "
-                  f"{r['bound_ms']} | {r['bound']} | "
-                  f"{r['attain_pct']}% |")
-        os.makedirs("var", exist_ok=True)
-        with open("var/mfu_inference.json", "w") as f:
-            json.dump({"batch": B, "dtype": args.dtype,
-                       "rows": mfu_rows}, f, indent=1)
-        print("\nwrote var/mfu_inference.json", flush=True)
+        def f_prefix(c, pv):
+            out = net.apply(pv, x_crop + c.astype(dtype))
+            return jnp.sum(out[:, 0, 0, :8]).astype(jnp.float32)
+
+        run(f"backbone prefix {label}", f_prefix, pvars)
+
+    # incremental per-stage rows from the 4 cumulative prefixes
+    pref = [r for r in mfu_rows if r["stage"].startswith(
+        "backbone prefix")]
+    for a, b in zip(pref[:-1], pref[1:]):
+        dms = b["ms"] - a["ms"]
+        if dms <= 0:
+            continue
+        gflop = b["gflop"] - a["gflop"]
+        gb = b["gb"] - a["gb"]
+        bound = max(gflop * 1e9 / PEAK_MXU, gb * 1e9 / PEAK_HBM)
+        mfu_rows.append({
+            "stage": b["stage"].replace("backbone prefix ",
+                                        "backbone stage "),
+            "ms": round(dms, 2), "gflop": round(gflop, 1),
+            "gb": round(gb, 2),
+            "tflops": round(gflop / dms / 1e3, 1),
+            "gbps": round(gb / dms * 1e3, 0),
+            "bound_ms": round(bound * 1e3, 2),
+            "bound": "MXU" if gflop * 1e9 / PEAK_MXU
+                     >= gb * 1e9 / PEAK_HBM else "HBM",
+            "attain_pct": round(100 * bound * 1e3 / dms, 1),
+        })
+
+
+def _emit_mfu_table(args, mfu_rows, B):
+    if not (args.mfu and mfu_rows):
+        return
+    import json
+    print("\n### Inference-step MFU attribution "
+          f"(B={B}, {args.dtype}, v5e)\n")
+    print("| stage | ms | GFLOP | GB | TFLOP/s | GB/s | bound ms "
+          "| bound | attainment |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for r in mfu_rows:
+        print(f"| {r['stage']} | {r['ms']} | {r['gflop']} | "
+              f"{r['gb']} | {r['tflops']} | {r['gbps']:.0f} | "
+              f"{r['bound_ms']} | {r['bound']} | "
+              f"{r['attain_pct']}% |")
+    os.makedirs("var", exist_ok=True)
+    with open("var/mfu_inference.json", "w") as f:
+        json.dump({"batch": B, "dtype": args.dtype,
+                   "rows": mfu_rows}, f, indent=1)
+    print("\nwrote var/mfu_inference.json", flush=True)
 
 
 if __name__ == "__main__":
