@@ -99,7 +99,20 @@ def main():
                        # Off by default; BENCH_S2B=1 to re-measure.
                        s2b_dilated=os.environ.get("BENCH_S2B") == "1"
                        and jax.default_backend() == "tpu")
+    # Weights: a real checkpoint if one exists (the TRAIN_r05 full
+    # 30-epoch run leaves one under var/), else calibrated random
+    # weights. The staged fps is weight-independent (same program), but
+    # the STREAMING A/B is not: under random weights the tracker loses
+    # the synthetic target, the size-EMA collapses, and suggest_roi
+    # sizes the window from a degenerate s_x — the r4/early-r5 ROI
+    # replays came from that, not from the policy. A trained tracker
+    # keeps the trajectory bounded so the ROI leg measures the policy.
     ckpt = os.environ.get("BENCH_CKPT")
+    if not ckpt:
+        trained = "var/full_schedule/unbroken/snapshot/checkpoint_e30.ckpt"
+        if os.path.exists(trained):
+            ckpt = trained
+            log(f"bench: using trained checkpoint {ckpt}")
     if ckpt and os.path.exists(ckpt):
         from usot_tpu.train.checkpoint import load_variables
         variables = load_variables(ckpt)
