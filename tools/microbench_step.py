@@ -73,24 +73,34 @@ def main():
     S = p.instance_size
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 255, (B, 480, 640 * 3), dtype=np.uint8))
-    avg = jnp.asarray(rng.uniform(90, 140, (B, 3)), jnp.float32)
-    hw = jnp.asarray(np.tile([480.0, 640.0], (B, 1)), jnp.float32)
-    pos = jnp.asarray(rng.uniform(100, 300, (B, 2)), jnp.float32)
     x_crop = jnp.asarray(rng.normal(size=(B, S, S, 3)), dtype)
-    xf = jnp.asarray(rng.normal(size=(B, p.score_size + 4, p.score_size + 4,
-                                      256)), dtype)
-    zf = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
-    queue = jnp.asarray(rng.normal(size=(B, 7, 7, 7, 256)), dtype)
-    mem_feat = jnp.asarray(rng.normal(size=(B, MAXF, 7, 7, 256)), dtype)
-    mem_conf = jnp.asarray(rng.uniform(0, 1, (B, MAXF)), jnp.float32)
-    mem_idx = jnp.asarray(
-        np.tile(np.arange(MAXF, dtype=np.int32), (B, 1)))
-    mem_len = jnp.full((B,), 40, jnp.int32)
-    init_feats = jnp.asarray(rng.normal(size=(B, 2, 7, 7, 256)), dtype)
-    feat = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
-    score_b = jnp.asarray(rng.uniform(0, 1, (B,)), jnp.float32)
+    if args.only_prefix:
+        # the prefix decomposition touches only x_crop; skip the other
+        # operand uploads (~300 MB — mem_feat alone is 205 MB at B=32,
+        # several minutes through the dev tunnel)
+        frames = avg = hw = pos = xf = zf = queue = None
+        mem_feat = mem_conf = mem_idx = mem_len = None
+        init_feats = feat = score_b = None
+    else:
+        frames = jnp.asarray(
+            rng.integers(0, 255, (B, 480, 640 * 3), dtype=np.uint8))
+        avg = jnp.asarray(rng.uniform(90, 140, (B, 3)), jnp.float32)
+        hw = jnp.asarray(np.tile([480.0, 640.0], (B, 1)), jnp.float32)
+        pos = jnp.asarray(rng.uniform(100, 300, (B, 2)), jnp.float32)
+        xf = jnp.asarray(rng.normal(size=(B, p.score_size + 4,
+                                          p.score_size + 4, 256)), dtype)
+        zf = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
+        queue = jnp.asarray(rng.normal(size=(B, 7, 7, 7, 256)), dtype)
+        mem_feat = jnp.asarray(rng.normal(size=(B, MAXF, 7, 7, 256)),
+                               dtype)
+        mem_conf = jnp.asarray(rng.uniform(0, 1, (B, MAXF)), jnp.float32)
+        mem_idx = jnp.asarray(
+            np.tile(np.arange(MAXF, dtype=np.int32), (B, 1)))
+        mem_len = jnp.full((B,), 40, jnp.int32)
+        init_feats = jnp.asarray(rng.normal(size=(B, 2, 7, 7, 256)),
+                                 dtype)
+        feat = jnp.asarray(rng.normal(size=(B, 7, 7, 256)), dtype)
+        score_b = jnp.asarray(rng.uniform(0, 1, (B,)), jnp.float32)
 
     # Each fn takes (inputs..., carry_scalar) and returns a new scalar so
     # the scan has a loop-carried dependency (prevents hoisting/DCE).
