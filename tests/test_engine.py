@@ -683,6 +683,38 @@ class TestROIStreaming:
         # past the 80%-of-canvas economic threshold, and handing off
         # is exactly what the cost policy is for.
 
+    def test_suggest_roi_floors_at_init_span(self, setup):
+        """A collapsed size EMA (lost target) must not shrink the
+        suggested window below what the INIT-time target needs:
+        under-sizing guarantees a full-frame replay, which costs more
+        than the bytes the smaller window saves (the r5 chip A/B's
+        192-vs-320 mis-size came exactly from this collapse)."""
+        import jax.numpy as jnp
+        from usot_tpu.tracker.engine import BatchScanEngine
+
+        model, variables, runner = setup
+        frames, centers = synthetic_video(n_frames=3)
+        p = TrackerConfig()
+        p.instance_size = p.small_sz
+        p.renew()
+        p.sf_size = p.score_size
+        H, W = frames[0].shape[:2]
+        batch = BatchScanEngine(model, variables, p, canvas_h=H,
+                                canvas_w=W, batch=2, max_frames=32,
+                                chunk=3)
+        videos = [(frames[0], np.array(centers[0], float),
+                   np.array([48.0, 48.0]))] * 2
+        st = batch.init_batch(videos, runner)
+        roi_init = batch.suggest_roi(st, chunk=2)
+
+        # collapse the size EMA to a degenerate 4-px target
+        st_lost = st._replace(sz=jnp.full_like(st.sz, 4.0))
+        assert batch.suggest_roi(st_lost, chunk=2) == roi_init
+
+        # a genuinely larger live target still grows the suggestion
+        st_big = st._replace(sz=jnp.full_like(st.sz, 96.0))
+        assert batch.suggest_roi(st_big, chunk=2) > roi_init
+
     def test_roi_escalation_full_frame_fallback(self, setup):
         """A target whose clipped search window spans the whole canvas
         can never be held by ANY sub-canvas ROI: escalation must hand

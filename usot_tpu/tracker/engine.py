@@ -831,6 +831,16 @@ class BatchScanEngine(ScanEngine):
         self._avg_b = jnp.asarray(np.stack([h["avg"] for h in hosts]),
                                   jnp.float32)
         self._im_hw_b = jnp.asarray(np.asarray(hws), jnp.float32)
+        # Floor for suggest_roi: the crop-window span at init. A tracker
+        # that loses its target collapses the size EMA, and an ROI sized
+        # from the collapsed s_x guarantees a replay the moment the
+        # window has to cover re-acquisition motion — shrinking the
+        # stream window below its init span never saves enough bytes to
+        # be worth that replay.
+        pos0 = np.stack([h["pos"] for h in hosts]).astype(np.float64)
+        sz0 = np.stack([h["sz"] for h in hosts]).astype(np.float64)
+        ix0, ix1, _, _ = self._crop_window(pos0, sz0)
+        self._init_span = float(np.max(ix1 - ix0))
         return EngineState(
             pos=jnp.asarray(np.stack([h["pos"] for h in hosts]),
                             jnp.float32),
@@ -929,7 +939,12 @@ class BatchScanEngine(ScanEngine):
         pos = np.asarray(state.pos, np.float64)
         sz = np.asarray(state.sz, np.float64)
         x0, x1, _, _ = self._crop_window(pos, sz)
-        s_x = float(np.max(x1 - x0))
+        # Floor at the init-time span: a collapsed size EMA (lost
+        # target) must not shrink the window below what tracking the
+        # ORIGINAL target needs — under-sizing costs a full-frame
+        # replay, which dwarfs the bytes the smaller window saves.
+        s_x = max(float(np.max(x1 - x0)),
+                  getattr(self, "_init_span", 0.0))
         need = s_x * growth + 1 + 2 * (margin + drift * chunk
                                        * stale_chunks)
         return int(-(-need // align) * align)
