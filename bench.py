@@ -83,7 +83,14 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     mode = os.environ.get("BENCH_MODE", "staged")
     use_bf16 = os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
-    frames = synthetic_video(n_frames)
+    # Canvas size. The ROI streaming A/B only has room to win when the
+    # search window is meaningfully smaller than the frame — at the
+    # default 480x640 a trained tracker's grown size-EMA can push the
+    # suggested window past the canvas (ROI leg then correctly skips);
+    # BENCH_H=720 BENCH_W=960 gives it headroom.
+    h = int(os.environ.get("BENCH_H", "480"))
+    w = int(os.environ.get("BENCH_W", "640"))
+    frames = synthetic_video(n_frames, h=h, w=w)
 
     log("bench: building model")
     model = build_usot(mem_size=4,
@@ -187,6 +194,10 @@ def main():
 
     roi = engine.suggest_roi(state, chunk=stream_chunk) \
         if roi_env == "auto" else int(roi_env)
+    sz_now = np.asarray(state.sz)
+    log(f"bench: suggest_roi -> {roi} (canvas {frames[0].shape[1]}x"
+        f"{frames[0].shape[0]}, init span {engine._init_span:.0f}, "
+        f"live sz max {sz_now.max():.0f})")
     if roi and roi < min(frames[0].shape[:2]):
         t_c = time.perf_counter()
         with watch.phase("roi_chunk", log):
@@ -215,6 +226,9 @@ def main():
             f"; sent {engine.roi_bytes_sent / 1e6:.0f}MB vs "
             f"{engine.roi_bytes_full_equiv / 1e6:.0f}MB full-frame)")
     else:
+        log("bench: ROI leg skipped — suggested window does not fit "
+            "inside the canvas (streaming full frames is the correct "
+            "policy there; see engine cost-based fallback)")
         stream_fps = full_stream_fps
 
     # --- staged steady-state (chip throughput), median of repeats ---
